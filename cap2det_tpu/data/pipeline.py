@@ -1,0 +1,489 @@
+"""Host-side input pipeline: TFRecords -> fixed-shape device batches.
+
+Reimplements the reference reader (readers/cap2det_reader.py:19-269) with
+TPU-static shapes:
+
+  * JPEG decode, random horizontal flip with box consistency
+    (core/preprocess.py:56-78, cap2det_reader.py:106-132), keep-aspect
+    resize (core/imgproc.py:301-353), proposal truncation/padding to
+    ``max_num_proposals``.
+  * The reference's per-batch random global rescale
+    (``batch_resize_scale_value``, cap2det_reader.py:143-172) plus its
+    free dynamic H×W padded batching are replaced by **canvas buckets**:
+    one fixed (height, width) canvas per (scale, orientation) pair, so
+    XLA compiles a handful of programs instead of one per shape.
+    Box renormalization from canvas padding matches
+    ``_batch_scale_box_fn`` (cap2det_reader.py:174-199) exactly.
+  * Caption token-buffer decoding replaces the reference's tf.while_loop
+    ``parse_texts`` (core/preprocess.py:151-214) with trivial host
+    slicing.
+  * Label extraction (string matching) runs here, ahead of the device,
+    emitting dense ``pseudo_labels`` — TPUs have no hash tables
+    (reference runs lookups inside the loss graph,
+    models/label_extractor.py:193-197).
+
+Deviations (documented):
+  * Shard filtering hashes image_id with CRC32C rather than TF's
+    Fingerprint64 (same determinism/uniformity contract,
+    cap2det_reader.py:201-211).
+  * Orientation bucketing groups landscape/portrait images into separate
+    batches so canvases stay tight; the reference mixes them and pads to
+    the per-batch max.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import queue as queue_lib
+
+import numpy as np
+
+from cap2det_tpu.config import schema
+from cap2det_tpu.data import tf_example, tfrecord
+from cap2det_tpu.fields import InputFields, TFExampleFields
+from cap2det_tpu.text import extractors as extractors_lib
+
+_WANTED_KEYS = {
+    TFExampleFields.image_id,
+    TFExampleFields.image_encoded,
+    TFExampleFields.caption_string,
+    TFExampleFields.caption_offset,
+    TFExampleFields.caption_length,
+    TFExampleFields.object_box_ymin,
+    TFExampleFields.object_box_xmin,
+    TFExampleFields.object_box_ymax,
+    TFExampleFields.object_box_xmax,
+    TFExampleFields.object_label,
+    TFExampleFields.object_text,
+    TFExampleFields.proposal_box_ymin,
+    TFExampleFields.proposal_box_xmin,
+    TFExampleFields.proposal_box_ymax,
+    TFExampleFields.proposal_box_xmax,
+}
+
+_WANTED_KEYS_NO_IMAGE = _WANTED_KEYS - {TFExampleFields.image_encoded}
+
+
+def _get(parsed, key, kind):
+    entry = parsed.get(key)
+    if entry is None:
+        return []
+    return entry[1]
+
+
+def _boxes_from(parsed, prefix):
+    ymin = np.asarray(_get(parsed, prefix + "/ymin", "float"), np.float32)
+    xmin = np.asarray(_get(parsed, prefix + "/xmin", "float"), np.float32)
+    ymax = np.asarray(_get(parsed, prefix + "/ymax", "float"), np.float32)
+    xmax = np.asarray(_get(parsed, prefix + "/xmax", "float"), np.float32)
+    return np.stack([ymin, xmin, ymax, xmax], axis=-1) if len(ymin) else np.zeros(
+        (0, 4), np.float32
+    )
+
+
+def parse_example(record, decode_image=True):
+    """Parses one serialized tf.Example into a host example dict."""
+    parsed = tf_example.decode_example(
+        record, _WANTED_KEYS if decode_image else _WANTED_KEYS_NO_IMAGE
+    )
+
+    tokens = [b.decode("utf-8") for b in _get(parsed, TFExampleFields.caption_string, "bytes")]
+    offsets = _get(parsed, TFExampleFields.caption_offset, "int64")
+    lengths = _get(parsed, TFExampleFields.caption_length, "int64")
+    captions = [
+        tokens[int(o) : int(o) + int(l)] for o, l in zip(offsets, lengths)
+    ]
+
+    example = {
+        "image_id": _get(parsed, TFExampleFields.image_id, "bytes")[0].decode("utf-8"),
+        "captions": captions,
+        "concat_tokens": tokens,
+        "proposals": _boxes_from(parsed, TFExampleFields.proposal_box),
+        "object_boxes": _boxes_from(parsed, TFExampleFields.object_box),
+        "object_texts": [
+            b.decode("utf-8")
+            for b in _get(parsed, TFExampleFields.object_text, "bytes")
+        ],
+        "object_labels": list(_get(parsed, TFExampleFields.object_label, "int64")),
+    }
+    if decode_image:
+        enc = _get(parsed, TFExampleFields.image_encoded, "bytes")
+        example["image_encoded"] = enc[0] if enc else None
+    return example
+
+
+def decode_jpeg(data):
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+def compute_canvas(min_dimension, scale=1.0, aspect_cap=1.5, multiple=32):
+    """Fixed (short_side, long_side) canvas for one scale bucket."""
+    short = _round_up(round(min_dimension * scale), multiple)
+    long = _round_up(round(min_dimension * scale * aspect_cap), multiple)
+    return short, long
+
+
+def fit_image_to_canvas(image, canvas_hw):
+    """Keep-aspect resize so min-dim hits the canvas short side (or the
+    image fits, whichever is smaller), then place at the top-left corner.
+
+    Returns (canvas_image float32, (new_h, new_w)).
+    """
+    import cv2
+
+    ch, cw = canvas_hw
+    h, w = image.shape[:2]
+    scale = min(ch / min(h, w) if min(h, w) else 1.0, ch / h, cw / w)
+    # Aim: min(new_h,new_w) == canvas short side; cap to fit.
+    target = min(ch, cw) / min(h, w)
+    scale = min(target, ch / h, cw / w)
+    new_h = max(1, min(ch, int(round(h * scale))))
+    new_w = max(1, min(cw, int(round(w * scale))))
+    resized = cv2.resize(
+        image.astype(np.float32), (new_w, new_h), interpolation=cv2.INTER_LINEAR
+    )
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:new_h, :new_w] = resized
+    return canvas, (new_h, new_w)
+
+
+def _pad_or_truncate_boxes(boxes, max_num):
+    n = min(len(boxes), max_num)
+    out = np.zeros((max_num, 4), np.float32)
+    out[:n] = boxes[:n]
+    return out, n
+
+
+def _flip_boxes(boxes):
+    if not len(boxes):
+        return boxes
+    ymin, xmin, ymax, xmax = boxes.T
+    return np.stack([ymin, 1.0 - xmax, ymax, 1.0 - xmin], axis=-1)
+
+
+def _shard_hash(image_id, denom):
+    return tfrecord.crc32c(image_id.encode("utf-8")) % denom
+
+
+def labels_for_examples(extractor, examples):
+    """Runs the label extractor over a list of host examples.
+
+    Groundtruth extraction reads object texts; the caption extractors read
+    the concatenated caption token buffer (reference cap2det_model.py:292
+    via label_extractor input fields).
+    """
+    if isinstance(extractor, extractors_lib.GroundtruthExtractor):
+        texts = [ex["object_texts"] for ex in examples]
+    else:
+        texts = [ex["concat_tokens"] for ex in examples]
+    return extractor.extract_labels(texts)
+
+
+class InputPipeline:
+    """Iterable over fixed-shape batches.
+
+    Args:
+      options: schema.Cap2DetReader.
+      label_extractor: optional extractor; adds `pseudo_labels` to batches.
+      vocab: optional text Vocabulary; adds `concat_caption_token_ids`.
+      seed: python RNG seed for shuffling/flip/scale decisions.
+      max_caption_tokens: static length of the concatenated token-id field.
+      aspect_cap / canvas_multiple: canvas bucket geometry.
+      bucket_by_orientation: separate landscape/portrait batches.
+    """
+
+    def __init__(
+        self,
+        options: schema.Cap2DetReader,
+        label_extractor=None,
+        vocab=None,
+        seed=0,
+        max_caption_tokens=64,
+        aspect_cap=1.5,
+        canvas_multiple=32,
+        bucket_by_orientation=True,
+        prefetch=2,
+    ):
+        if not isinstance(options, schema.Cap2DetReader):
+            raise ValueError("options must be a Cap2DetReader config")
+        self.options = options
+        self.label_extractor = label_extractor
+        self.vocab = vocab
+        self.seed = seed
+        self.max_caption_tokens = max_caption_tokens
+        self.aspect_cap = aspect_cap
+        self.canvas_multiple = canvas_multiple
+        self.bucket_by_orientation = bucket_by_orientation
+        self.prefetch = prefetch
+
+        self._min_dimension = 600
+        self._fixed_hw = None
+        resizer = options.image_resizer
+        if resizer is not None:
+            which = resizer.which_oneof()
+            if which == "keep_aspect_ratio_resizer":
+                self._min_dimension = resizer.keep_aspect_ratio_resizer.min_dimension
+            elif which == "fixed_shape_resizer":
+                self._fixed_hw = (
+                    resizer.fixed_shape_resizer.height,
+                    resizer.fixed_shape_resizer.width,
+                )
+
+        self._scales = list(options.batch_resize_scale_value) or [1.0]
+        self._shard = None
+        if options.shard_indicator:
+            numer, denom = options.shard_indicator.split("/")
+            self._shard = (int(numer), int(denom))
+            if not 0 <= self._shard[0] < self._shard[1]:
+                raise ValueError("bad shard_indicator %r" % options.shard_indicator)
+
+    # -- raw example stream ---------------------------------------------------
+
+    def _file_list(self):
+        files = tfrecord.list_files(list(self.options.input_pattern))
+        if not files:
+            raise FileNotFoundError(
+                "no files match %s" % list(self.options.input_pattern)
+            )
+        return files
+
+    def example_stream(self):
+        """Yields parsed host examples (single pass unless training)."""
+        rng = random.Random(self.seed)
+        is_training = self.options.is_training
+        files = self._file_list()
+        epoch = 0
+        while True:
+            ordered = list(files)
+            if is_training:
+                rng.shuffle(ordered)
+            for path in ordered:
+                for record in tfrecord.read_records(path):
+                    example = parse_example(record, self.options.decode_image)
+                    if self._shard is not None:
+                        numer, denom = self._shard
+                        if _shard_hash(example["image_id"], denom) != numer:
+                            continue
+                    yield example
+            epoch += 1
+            if not is_training:
+                return
+
+    def _shuffled_stream(self):
+        """Reservoir-style shuffle buffer (mirrors dataset.shuffle)."""
+        if not self.options.is_training or self.options.shuffle_buffer_size <= 1:
+            yield from self.example_stream()
+            return
+        rng = random.Random(self.seed + 1)
+        buf = []
+        size = self.options.shuffle_buffer_size
+        for ex in self.example_stream():
+            buf.append(ex)
+            if len(buf) >= size:
+                idx = rng.randrange(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+    # -- batching --------------------------------------------------------------
+
+    def _encode_captions(self, examples):
+        """[B, max_caption_tokens] int32 token ids (pad = OOV id)."""
+        out = np.full(
+            (len(examples), self.max_caption_tokens),
+            self.vocab.oov_id,
+            dtype=np.int32,
+        )
+        for i, ex in enumerate(examples):
+            toks = ex["concat_tokens"][: self.max_caption_tokens]
+            for j, t in enumerate(toks):
+                out[i, j] = self.vocab.lookup(t)
+        return out
+
+    def _caption_matrix(self, examples):
+        """Padded per-caption string fields (mirrors parse_texts output)."""
+        num = max((len(ex["captions"]) for ex in examples), default=0)
+        maxlen = max(
+            (len(c) for ex in examples for c in ex["captions"]), default=0
+        )
+        strings = np.full((len(examples), num, maxlen), "", dtype=object)
+        lengths = np.zeros((len(examples), num), np.int64)
+        counts = np.zeros((len(examples),), np.int32)
+        for i, ex in enumerate(examples):
+            counts[i] = len(ex["captions"])
+            for j, cap in enumerate(ex["captions"]):
+                lengths[i, j] = len(cap)
+                for k, t in enumerate(cap):
+                    strings[i, j, k] = t
+        return counts, strings, lengths
+
+    def _assemble_text_batch(self, examples):
+        batch = {
+            InputFields.image_id: [ex["image_id"] for ex in examples],
+            InputFields.object_texts: [ex["object_texts"] for ex in examples],
+            "concat_tokens": [ex["concat_tokens"] for ex in examples],
+        }
+        counts, strings, lengths = self._caption_matrix(examples)
+        batch[InputFields.num_captions] = counts
+        batch[InputFields.caption_strings] = strings
+        batch[InputFields.caption_lengths] = lengths
+        if self.vocab is not None:
+            batch[InputFields.concat_caption_token_ids] = self._encode_captions(
+                examples
+            )
+        if self.label_extractor is not None:
+            batch[InputFields.pseudo_labels] = labels_for_examples(
+                self.label_extractor, examples
+            )
+        return batch
+
+    def _assemble_image_batch(self, examples, scale, rng):
+        opt = self.options
+        batch = self._assemble_text_batch(examples)
+
+        if self._fixed_hw is not None:
+            ch, cw = (
+                _round_up(self._fixed_hw[0] * scale, self.canvas_multiple),
+                _round_up(self._fixed_hw[1] * scale, self.canvas_multiple),
+            )
+        else:
+            short, long = compute_canvas(
+                self._min_dimension, scale, self.aspect_cap, self.canvas_multiple
+            )
+            landscape = examples[0]["_landscape"]
+            ch, cw = (short, long) if landscape else (long, short)
+
+        images = np.zeros((len(examples), ch, cw, 3), np.float32)
+        image_shapes = np.zeros((len(examples), 3), np.int32)
+        proposals = np.zeros((len(examples), opt.max_num_proposals, 4), np.float32)
+        num_proposals = np.zeros((len(examples),), np.int32)
+        object_boxes = []
+
+        flip_prob = 0.0
+        if opt.preprocess_options is not None:
+            flip_prob = opt.preprocess_options.random_flip_left_right_prob
+
+        for i, ex in enumerate(examples):
+            image = ex["_decoded_image"]
+            flip = opt.is_training and rng.random() < flip_prob
+            if flip:
+                image = image[:, ::-1]
+            canvas, (new_h, new_w) = fit_image_to_canvas(image, (ch, cw))
+            images[i] = canvas
+            image_shapes[i] = (new_h, new_w, 3)
+
+            props = ex["proposals"][: opt.max_num_proposals]
+            obj = ex["object_boxes"]
+            if flip:
+                props = _flip_boxes(props)
+                obj = _flip_boxes(obj)
+            # Renormalize from true image extent to canvas extent
+            # (reference _batch_scale_box_fn semantics).
+            fy, fx = new_h / ch, new_w / cw
+            scale_vec = np.array([fy, fx, fy, fx], np.float32)
+            proposals[i, : len(props)] = props * scale_vec
+            num_proposals[i] = len(props)
+            object_boxes.append(obj * scale_vec if len(obj) else obj)
+
+        batch.update(
+            {
+                InputFields.image: images,
+                InputFields.image_shape: image_shapes,
+                InputFields.proposals: proposals,
+                InputFields.num_proposals: num_proposals,
+                InputFields.object_boxes: object_boxes,
+                InputFields.num_objects: np.array(
+                    [len(b) for b in object_boxes], np.int32
+                ),
+            }
+        )
+        return batch
+
+    def __iter__(self):
+        return self._prefetched(self._batches())
+
+    def _batches(self):
+        opt = self.options
+        rng = random.Random(self.seed + 2)
+        batch_size = opt.batch_size
+
+        if not opt.decode_image:
+            pending = []
+            for ex in self._shuffled_stream():
+                pending.append(ex)
+                if len(pending) == batch_size:
+                    yield self._assemble_text_batch(pending)
+                    pending = []
+            if pending and not opt.is_training and len(pending) == batch_size:
+                yield self._assemble_text_batch(pending)
+            return
+
+        buckets = {}
+        for ex in self._shuffled_stream():
+            if ex.get("image_encoded") is None:
+                continue
+            image = decode_jpeg(ex["image_encoded"])
+            ex["_decoded_image"] = image
+            h, w = image.shape[:2]
+            landscape = w >= h
+            ex["_landscape"] = landscape
+            key = landscape if (self.bucket_by_orientation and self._fixed_hw is None) else True
+            buckets.setdefault(key, []).append(ex)
+            if len(buckets[key]) == batch_size:
+                scale = rng.choice(self._scales) if opt.is_training else 1.0
+                yield self._assemble_image_batch(buckets[key], scale, rng)
+                buckets[key] = []
+        # Eval drains remaining full groups only (drop_remainder=True parity).
+        if not opt.is_training:
+            for key, pending in buckets.items():
+                while len(pending) >= batch_size:
+                    yield self._assemble_image_batch(pending[:batch_size], 1.0, rng)
+                    pending = pending[batch_size:]
+
+    def _prefetched(self, gen):
+        if self.prefetch <= 0:
+            yield from gen
+            return
+        q = queue_lib.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(item)
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def build_input_pipeline(reader_config: schema.Reader, **kwargs):
+    """Factory from the Reader oneof (mirrors readers/reader.py:11-28)."""
+    which = reader_config.which_oneof()
+    if which == "cap2det_reader":
+        return InputPipeline(reader_config.cap2det_reader, **kwargs)
+    raise ValueError("unknown reader %r" % which)

@@ -1,0 +1,122 @@
+"""Synthetic dataset generation in the reference TFRecord schema.
+
+Used by unit tests and the benchmark harness: produces records with JPEG
+images, tokenized captions (token buffer + offset/length framing, as in
+dataset-tools/create_coco_tf_record.py:79-87,187-195), ground-truth boxes
+with class texts, and selective-search-style proposal boxes.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from cap2det_tpu.data import tf_example, tfrecord
+from cap2det_tpu.fields import TFExampleFields
+
+VOC_CLASSES = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+_FILLER = ["a", "the", "on", "photo", "of", "with", "near", "sitting"]
+
+
+def encode_jpeg(image):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="JPEG", quality=80)
+    return buf.getvalue()
+
+
+def make_example(
+    rng,
+    image_id,
+    classes=VOC_CLASSES,
+    image_hw=(480, 640),
+    num_captions=2,
+    num_objects=2,
+    num_proposals=50,
+    with_image=True,
+):
+    """Builds one feature dict in the reference schema."""
+    h, w = image_hw
+    present = rng.choice(len(classes), size=num_objects, replace=True)
+
+    tokens = []
+    offsets = []
+    lengths = []
+    for _ in range(num_captions):
+        cap = list(rng.choice(_FILLER, size=3))
+        cap.append(classes[rng.choice(present)])
+        cap.append(rng.choice(_FILLER))
+        offsets.append(len(tokens))
+        lengths.append(len(cap))
+        tokens.extend(cap)
+
+    def rand_boxes(n):
+        y0 = rng.uniform(0, 0.6, n)
+        x0 = rng.uniform(0, 0.6, n)
+        y1 = y0 + rng.uniform(0.2, 0.4, n)
+        x1 = x0 + rng.uniform(0.2, 0.4, n)
+        return np.clip(np.stack([y0, x0, y1, x1], -1), 0, 1).astype(np.float32)
+
+    obj_boxes = rand_boxes(num_objects)
+    prop_boxes = rand_boxes(num_proposals)
+
+    feats = {
+        TFExampleFields.image_id: ("bytes", [image_id.encode()]),
+        TFExampleFields.caption_string: ("bytes", [t.encode() for t in tokens]),
+        TFExampleFields.caption_offset: ("int64", offsets),
+        TFExampleFields.caption_length: ("int64", lengths),
+        TFExampleFields.object_box_ymin: ("float", obj_boxes[:, 0]),
+        TFExampleFields.object_box_xmin: ("float", obj_boxes[:, 1]),
+        TFExampleFields.object_box_ymax: ("float", obj_boxes[:, 2]),
+        TFExampleFields.object_box_xmax: ("float", obj_boxes[:, 3]),
+        TFExampleFields.object_text: (
+            "bytes",
+            [classes[i].encode() for i in present],
+        ),
+        TFExampleFields.object_label: ("int64", [int(i) + 1 for i in present]),
+        TFExampleFields.proposal_box_ymin: ("float", prop_boxes[:, 0]),
+        TFExampleFields.proposal_box_xmin: ("float", prop_boxes[:, 1]),
+        TFExampleFields.proposal_box_ymax: ("float", prop_boxes[:, 2]),
+        TFExampleFields.proposal_box_xmax: ("float", prop_boxes[:, 3]),
+    }
+    if with_image:
+        image = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        feats[TFExampleFields.image_encoded] = ("bytes", [encode_jpeg(image)])
+    return feats
+
+
+def write_synthetic_dataset(
+    path,
+    num_examples=8,
+    seed=0,
+    classes=VOC_CLASSES,
+    image_hw=(480, 640),
+    with_image=True,
+    num_proposals=50,
+):
+    rng = np.random.default_rng(seed)
+    with tfrecord.TFRecordWriter(path) as w:
+        for i in range(num_examples):
+            feats = make_example(
+                rng,
+                "synthetic-%05d" % i,
+                classes=classes,
+                image_hw=image_hw,
+                with_image=with_image,
+                num_proposals=num_proposals,
+            )
+            w.write(tf_example.encode_example(feats))
+    return path
+
+
+def write_label_file(path, classes=VOC_CLASSES):
+    with open(path, "w") as fid:
+        fid.write("\n".join(classes))
+    return path

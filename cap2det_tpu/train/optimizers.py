@@ -1,0 +1,159 @@
+"""Optimizer construction from config.
+
+Reproduces the reference training-time gradient machinery
+(train/trainer.py:67-146 and core/training_utils.py:14-71) with optax:
+
+  * optimizer factory for the five Optimizer oneofs,
+  * exponential learning-rate decay with optional staircase,
+  * per-variable-scope gradient multipliers where multiplier 0.0 freezes
+    the subtree (reference trainer.py:104-128),
+  * per-variable gradient-norm clipping (tf.contrib clip_gradient_norms),
+  * parameter moving average (MovingAverageOptimizer semantics: the
+    checkpointed evaluation weights are the averaged ones).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cap2det_tpu.config import schema
+
+
+def param_path_strings(params):
+    """Flattens a params pytree into '/'-joined path strings."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for path, _ in flat:
+        keys = []
+        for p in path:
+            if hasattr(p, "key"):
+                keys.append(str(p.key))
+            elif hasattr(p, "idx"):
+                keys.append(str(p.idx))
+            else:
+                keys.append(str(p))
+        out.append("/".join(keys))
+    return out
+
+
+def resolve_multiplier(path, multipliers):
+    """Returns the effective multiplier for a param path (later config
+    entries override earlier ones, reference trainer.py:109-117)."""
+    value = None
+    for m in multipliers:
+        if path.startswith(m.scope):
+            value = m.multiplier
+    return value
+
+
+def build_learning_rate_schedule(train_config: schema.TrainConfig):
+    lr = train_config.learning_rate
+    if train_config.has_field("learning_rate_decay"):
+        decay = train_config.learning_rate_decay
+        return optax.exponential_decay(
+            init_value=lr,
+            transition_steps=decay.decay_steps,
+            decay_rate=decay.decay_rate,
+            staircase=decay.staircase,
+        )
+    return optax.constant_schedule(lr)
+
+
+def build_base_optimizer(config: schema.Optimizer, learning_rate):
+    which = config.which_oneof() if config is not None else None
+    if which == "sgd" or which is None:
+        return optax.sgd(learning_rate)
+    if which == "adagrad":
+        return optax.adagrad(
+            learning_rate,
+            initial_accumulator_value=config.adagrad.initial_accumulator_value,
+        )
+    if which == "adam":
+        c = config.adam
+        return optax.adam(learning_rate, b1=c.beta1, b2=c.beta2, eps=c.epsilon)
+    if which == "rmsprop":
+        c = config.rmsprop
+        return optax.rmsprop(
+            learning_rate,
+            decay=c.decay,
+            eps=c.epsilon,
+            centered=c.centered,
+            momentum=c.momentum if c.momentum > 0 else None,
+        )
+    if which == "momentum":
+        c = config.momentum
+        return optax.sgd(learning_rate, momentum=c.momentum, nesterov=c.use_nesterov)
+    raise ValueError("unknown optimizer %r" % which)
+
+
+def _clip_each_by_norm(max_norm):
+    """Per-leaf norm clipping (tf.contrib.training.clip_gradient_norms)."""
+
+    def clip(g):
+        norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        factor = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        return g * factor
+
+    return optax.stateless(lambda grads, params: jax.tree.map(clip, grads))
+
+
+def build_optimizer(
+    train_config: schema.TrainConfig,
+    params,
+    non_trainable_paths=(),
+):
+    """Builds (optimizer, trainable_mask) for a params pytree.
+
+    trainable_mask mirrors the reference's variables_to_train pruning:
+    a leaf is frozen when a gradient multiplier of 0.0 matches its path
+    or the model marks it non-trainable (e.g. frozen word embeddings).
+    """
+    schedule = build_learning_rate_schedule(train_config)
+    base = build_base_optimizer(train_config.optimizer, schedule)
+
+    paths = param_path_strings(params)
+    multipliers = train_config.gradient_multiplier
+
+    def label_for(path):
+        if any(path.startswith(p) for p in non_trainable_paths):
+            return "frozen"
+        mult = resolve_multiplier(path, multipliers)
+        if mult is None:
+            return "m:1.0"
+        if mult == 0.0:
+            return "frozen"
+        return "m:%r" % mult
+
+    labels_flat = [label_for(p) for p in paths]
+    treedef = jax.tree_util.tree_structure(params)
+    labels = jax.tree_util.tree_unflatten(treedef, labels_flat)
+
+    transforms = {"frozen": optax.set_to_zero()}
+    chain_tail = []
+    if train_config.has_field("max_gradient_norm") and train_config.max_gradient_norm > 0:
+        chain_tail.append(_clip_each_by_norm(train_config.max_gradient_norm))
+    for label in set(labels_flat):
+        if label == "frozen":
+            continue
+        mult = float(label[2:])
+        pre = [optax.scale(mult)] if mult != 1.0 else []
+        transforms[label] = optax.chain(*pre, *chain_tail, base)
+
+    tx = optax.multi_transform(transforms, labels)
+    mask = jax.tree_util.tree_unflatten(
+        treedef, [l != "frozen" for l in labels_flat]
+    )
+    return tx, mask, schedule
+
+
+def ema_init(params):
+    # Real copies: the EMA must not alias the param buffers (aliasing breaks
+    # buffer donation in the jitted train step).
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+
+
+def ema_update(ema, params, decay):
+    """new_ema = decay * ema + (1-decay) * params."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)

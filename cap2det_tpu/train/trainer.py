@@ -1,0 +1,209 @@
+"""Training loop: jitted SPMD train step + checkpointing + metrics.
+
+Replaces the reference Estimator machinery (train/trainer.py:177-235)
+with an explicit functional loop:
+
+  pipeline config -> model (registry) -> input pipeline -> jit train_step
+  over a 1-D device mesh (batch sharded, params replicated) -> orbax
+  checkpoints at the configured cadence.
+
+The optimizer chain reproduces LR decay, per-scope gradient multipliers /
+freezing, per-variable clipping, and parameter moving averages (see
+train/optimizers.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cap2det_tpu.config import schema
+from cap2det_tpu.data import pipeline as pipeline_lib
+from cap2det_tpu.models import registry
+from cap2det_tpu.parallel import mesh as mesh_lib
+from cap2det_tpu.train import checkpoint as ckpt_lib
+from cap2det_tpu.train import metrics as metrics_lib
+from cap2det_tpu.train import optimizers
+
+log = logging.getLogger("cap2det.trainer")
+
+
+class TrainState:
+    """Plain pytree container: {params, opt_state, ema, step}."""
+
+    @staticmethod
+    def create(model, train_config, rng):
+        params = model.init_params(rng)
+        tx, mask, schedule = optimizers.build_optimizer(
+            train_config, params, non_trainable_paths=model.non_trainable_paths
+        )
+        opt_state = tx.init(params)
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if train_config.has_field("moving_average_decay"):
+            state["ema"] = optimizers.ema_init(params)
+        return state, tx, schedule
+
+
+def make_train_step(model, tx, train_config):
+    """Builds the jittable train step fn(state, batch, rng) -> (state, logs)."""
+    ema_decay = (
+        train_config.moving_average_decay
+        if train_config.has_field("moving_average_decay")
+        else None
+    )
+
+    def train_step(state, batch, rng):
+        params = state["params"]
+
+        def loss_fn(p):
+            total, loss_dict = model.loss(p, batch, rng=rng, is_training=True)
+            return total, loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        new_state = dict(state)
+        new_state["params"] = params
+        new_state["opt_state"] = opt_state
+        new_state["step"] = state["step"] + 1
+        if ema_decay is not None:
+            new_state["ema"] = optimizers.ema_update(
+                state["ema"], params, ema_decay
+            )
+        logs = {"loss/total_loss": total}
+        logs.update({"loss/" + k: v for k, v in loss_dict.items()})
+        return new_state, logs
+
+    return train_step
+
+
+def eval_params(state):
+    """Parameters to evaluate/export: the moving average when enabled
+    (MovingAverageOptimizer swapping-saver semantics)."""
+    return state.get("ema", state["params"])
+
+
+def train(
+    pipeline_config: schema.Pipeline,
+    model_dir=None,
+    max_steps=None,
+    log_every=None,
+    seed=0,
+    use_mesh=True,
+    hooks=(),
+):
+    """Runs training per the pipeline config. Returns the final state.
+
+    Args:
+      hooks: callables hook(step, state, logs) invoked after each step.
+    """
+    model_dir = model_dir or pipeline_config.model_dir
+    train_config = pipeline_config.train_config
+    max_steps = max_steps or train_config.max_steps
+    log_every = log_every or train_config.log_step_count_steps
+
+    model = registry.build(pipeline_config.model, is_training=True)
+    reader = pipeline_config.train_reader
+    pipe = pipeline_lib.build_input_pipeline(reader, seed=seed,
+                                             **model.pipeline_kwargs())
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    state, tx, schedule = TrainState.create(model, train_config, init_rng)
+
+    manager = None
+    writer = None
+    if model_dir:
+        os.makedirs(model_dir, exist_ok=True)
+        manager = ckpt_lib.CheckpointManager(
+            model_dir, keep_max=train_config.keep_checkpoint_max
+        )
+        restored = manager.restore(jax.device_get(state))
+        if restored is not None:
+            state = restored
+            log.info("restored checkpoint at step %s", int(state["step"]))
+        writer = metrics_lib.MetricsWriter(model_dir)
+
+    mesh = None
+    batch_size = reader.cap2det_reader.batch_size
+    if use_mesh and len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
+        mesh = mesh_lib.create_mesh()
+        # Replicate state across the mesh so every device participates in
+        # the SPMD program (mixed single-device/sharded placements deadlock
+        # the collective).
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    train_step = jax.jit(make_train_step(model, tx, train_config), donate_argnums=0)
+
+    step = int(state["step"])
+    t_start = time.time()
+    t_window, window_steps, window_examples = time.time(), 0, 0
+    logs = {}
+    profiler_dir = os.path.join(model_dir, "profile") if model_dir else None
+
+    for host_batch in pipe:
+        if step >= max_steps:
+            break
+        batch = model.device_batch(host_batch)
+        rng, step_rng = jax.random.split(rng)
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(mesh, batch)
+            step_rng = jax.device_put(step_rng, mesh_lib.replicated(mesh))
+        state, logs = train_step(state, batch, step_rng)
+        step += 1
+        window_steps += 1
+        window_examples += batch_size
+
+        if step % log_every == 0 or step >= max_steps:
+            jax.block_until_ready(logs)
+            dt = time.time() - t_window
+            rate = window_steps / max(dt, 1e-9)
+            examples_rate = window_examples / max(dt, 1e-9)
+            lr = float(schedule(step))
+            log.info(
+                "step %d loss %.5f (%.2f steps/s, %.2f ex/s, lr %.5f)",
+                step,
+                float(logs["loss/total_loss"]),
+                rate,
+                examples_rate,
+                lr,
+            )
+            if writer is not None:
+                scalars = {k: float(v) for k, v in logs.items()}
+                scalars["loss/learning_rate"] = lr
+                scalars["global_step/sec"] = rate
+                scalars["examples/sec"] = examples_rate
+                writer.write(step, scalars)
+            t_window, window_steps, window_examples = time.time(), 0, 0
+
+        if manager is not None and step % train_config.save_checkpoints_steps == 0:
+            manager.save(step, jax.device_get(state))
+
+        for hook in hooks:
+            hook(step, state, logs)
+
+    if manager is not None:
+        manager.save(step, jax.device_get(state))
+        manager.close()
+    if writer is not None:
+        writer.close()
+    log.info("training finished at step %d in %.1fs", step, time.time() - t_start)
+    return state
+
+
+def create_train_and_evaluate(pipeline_config, model_dir=None, **kwargs):
+    """Name-compatible entry point (reference trainer.create_train_and_evaluate)."""
+    return train(pipeline_config, model_dir=model_dir, **kwargs)

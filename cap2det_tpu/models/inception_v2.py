@@ -1,0 +1,342 @@
+"""InceptionV2 (BN-Inception) backbone with the Faster-RCNN two-stage split.
+
+The reference uses the object_detection ``faster_rcnn_inception_v2``
+feature extractor (models/utils.py:127-167, configs set
+``type: 'faster_rcnn_inception_v2'``): the *first stage* runs
+inception_v2_base through ``Mixed_4e`` (stride 16, 576 channels) over the
+full image; the *second stage* runs ``Mixed_5a..Mixed_5c`` (1024 channels)
+over the cropped ROI features.
+
+This is a pure-functional implementation over a params dict whose nesting
+mirrors the TF-slim checkpoint variable names (``InceptionV2/Mixed_4e/
+Branch_2/Conv2d_0b_3x3/weights`` etc.) so ImageNet checkpoints convert
+1:1 (see tools/convert_tf_checkpoint.py). BatchNorm uses frozen moving
+statistics (all shipped configs run with ``batch_norm_trainable: false``);
+beta remains a parameter so gradient multipliers behave like the
+reference.
+
+Compute defaults to bfloat16 on the MXU with float32 accumulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPSILON = 0.001
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _conv_params(rng, kh, kw, cin, cout, stddev=0.09):
+    k1, _ = jax.random.split(rng)
+    return {
+        "weights": jax.random.truncated_normal(
+            k1, -2.0, 2.0, (kh, kw, cin, cout), jnp.float32
+        )
+        * stddev,
+        "BatchNorm": {
+            "beta": jnp.zeros((cout,), jnp.float32),
+            "moving_mean": jnp.zeros((cout,), jnp.float32),
+            "moving_variance": jnp.ones((cout,), jnp.float32),
+        },
+    }
+
+
+def _sep_conv_params(rng, kh, kw, cin, channel_multiplier, cout, stddev=0.09):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "depthwise_weights": jax.random.truncated_normal(
+            k1, -2.0, 2.0, (kh, kw, cin, channel_multiplier), jnp.float32
+        )
+        * stddev,
+        "pointwise_weights": jax.random.truncated_normal(
+            k2, -2.0, 2.0, (1, 1, cin * channel_multiplier, cout), jnp.float32
+        )
+        * stddev,
+        "BatchNorm": {
+            "beta": jnp.zeros((cout,), jnp.float32),
+            "moving_mean": jnp.zeros((cout,), jnp.float32),
+            "moving_variance": jnp.ones((cout,), jnp.float32),
+        },
+    }
+
+
+# Inception block specs: per branch a list of (name, kernel, cout, stride).
+# Pool branches are ('avg'|'max', kernel, stride) pseudo-layers.
+# Matches slim inception_v2_base / od's box-classifier blocks.
+
+_BLOCKS_FIRST = {
+    "Mixed_3b": [
+        [("Conv2d_0a_1x1", 1, 64, 1)],
+        [("Conv2d_0a_1x1", 1, 64, 1), ("Conv2d_0b_3x3", 3, 64, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 64, 1),
+            ("Conv2d_0b_3x3", 3, 96, 1),
+            ("Conv2d_0c_3x3", 3, 96, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 32, 1)],
+    ],
+    "Mixed_3c": [
+        [("Conv2d_0a_1x1", 1, 64, 1)],
+        [("Conv2d_0a_1x1", 1, 64, 1), ("Conv2d_0b_3x3", 3, 96, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 64, 1),
+            ("Conv2d_0b_3x3", 3, 96, 1),
+            ("Conv2d_0c_3x3", 3, 96, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 64, 1)],
+    ],
+    "Mixed_4a": [
+        [("Conv2d_0a_1x1", 1, 128, 1), ("Conv2d_1a_3x3", 3, 160, 2)],
+        [
+            ("Conv2d_0a_1x1", 1, 64, 1),
+            ("Conv2d_0b_3x3", 3, 96, 1),
+            ("Conv2d_1a_3x3", 3, 96, 2),
+        ],
+        [("pool_max", 3, None, 2)],
+    ],
+    "Mixed_4b": [
+        [("Conv2d_0a_1x1", 1, 224, 1)],
+        [("Conv2d_0a_1x1", 1, 64, 1), ("Conv2d_0b_3x3", 3, 96, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 96, 1),
+            ("Conv2d_0b_3x3", 3, 128, 1),
+            ("Conv2d_0c_3x3", 3, 128, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 128, 1)],
+    ],
+    "Mixed_4c": [
+        [("Conv2d_0a_1x1", 1, 192, 1)],
+        [("Conv2d_0a_1x1", 1, 96, 1), ("Conv2d_0b_3x3", 3, 128, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 96, 1),
+            ("Conv2d_0b_3x3", 3, 128, 1),
+            ("Conv2d_0c_3x3", 3, 128, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 128, 1)],
+    ],
+    "Mixed_4d": [
+        [("Conv2d_0a_1x1", 1, 160, 1)],
+        [("Conv2d_0a_1x1", 1, 128, 1), ("Conv2d_0b_3x3", 3, 160, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 128, 1),
+            ("Conv2d_0b_3x3", 3, 160, 1),
+            ("Conv2d_0c_3x3", 3, 160, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 96, 1)],
+    ],
+    "Mixed_4e": [
+        [("Conv2d_0a_1x1", 1, 96, 1)],
+        [("Conv2d_0a_1x1", 1, 128, 1), ("Conv2d_0b_3x3", 3, 192, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 160, 1),
+            ("Conv2d_0b_3x3", 3, 192, 1),
+            ("Conv2d_0c_3x3", 3, 192, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 96, 1)],
+    ],
+}
+
+_BLOCKS_SECOND = {
+    "Mixed_5a": [
+        [("Conv2d_0a_1x1", 1, 128, 1), ("Conv2d_1a_3x3", 3, 192, 2)],
+        [
+            ("Conv2d_0a_1x1", 1, 192, 1),
+            ("Conv2d_0b_3x3", 3, 256, 1),
+            ("Conv2d_1a_3x3", 3, 256, 2),
+        ],
+        [("pool_max", 3, None, 2)],
+    ],
+    "Mixed_5b": [
+        [("Conv2d_0a_1x1", 1, 352, 1)],
+        [("Conv2d_0a_1x1", 1, 192, 1), ("Conv2d_0b_3x3", 3, 320, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 160, 1),
+            ("Conv2d_0b_3x3", 3, 224, 1),
+            ("Conv2d_0c_3x3", 3, 224, 1),
+        ],
+        [("pool_avg", 3, None, 1), ("Conv2d_0b_1x1", 1, 128, 1)],
+    ],
+    "Mixed_5c": [
+        [("Conv2d_0a_1x1", 1, 352, 1)],
+        [("Conv2d_0a_1x1", 1, 192, 1), ("Conv2d_0b_3x3", 3, 320, 1)],
+        [
+            ("Conv2d_0a_1x1", 1, 192, 1),
+            ("Conv2d_0b_3x3", 3, 224, 1),
+            ("Conv2d_0c_3x3", 3, 224, 1),
+        ],
+        [("pool_max", 3, None, 1), ("Conv2d_0b_1x1", 1, 128, 1)],
+    ],
+}
+
+FIRST_STAGE_DEPTH = 576  # Mixed_4e output channels
+SECOND_STAGE_DEPTH = 1024  # Mixed_5c output channels
+
+
+def _block_params(rng, spec, cin):
+    out = {}
+    total = 0
+    for b, branch in enumerate(spec):
+        rng, sub = jax.random.split(rng)
+        branch_params = {}
+        c = cin
+        for name, k, cout, stride in branch:
+            if name.startswith("pool_"):
+                continue
+            sub, layer_rng = jax.random.split(sub)
+            branch_params[name] = _conv_params(layer_rng, k, k, c, cout)
+            c = cout
+        out["Branch_%d" % b] = branch_params
+        total += c
+    return out, total
+
+
+def _branch_input_channels(branch, cin):
+    c = cin
+    for name, k, cout, stride in branch:
+        if not name.startswith("pool_"):
+            c = cout
+    return c
+
+
+def init_first_stage_params(rng):
+    """InceptionV2 stem + Mixed_3b..Mixed_4e (576ch, stride 16)."""
+    params = {}
+    rng, r = jax.random.split(rng)
+    params["Conv2d_1a_7x7"] = _sep_conv_params(r, 7, 7, 3, 8, 64)
+    rng, r = jax.random.split(rng)
+    params["Conv2d_2b_1x1"] = _conv_params(r, 1, 1, 64, 64)
+    rng, r = jax.random.split(rng)
+    params["Conv2d_2c_3x3"] = _conv_params(r, 3, 3, 64, 192)
+    cin = 192
+    for name in ["Mixed_3b", "Mixed_3c", "Mixed_4a", "Mixed_4b", "Mixed_4c",
+                 "Mixed_4d", "Mixed_4e"]:
+        rng, r = jax.random.split(rng)
+        params[name], cin = _block_params(r, _BLOCKS_FIRST[name], cin)
+    assert cin == FIRST_STAGE_DEPTH, cin
+    return {"InceptionV2": params}
+
+
+def init_second_stage_params(rng):
+    """Mixed_5a..Mixed_5c (1024ch) for the per-ROI box classifier."""
+    params = {}
+    cin = FIRST_STAGE_DEPTH
+    for name in ["Mixed_5a", "Mixed_5b", "Mixed_5c"]:
+        rng, r = jax.random.split(rng)
+        params[name], cin = _block_params(r, _BLOCKS_SECOND[name], cin)
+    assert cin == SECOND_STAGE_DEPTH, cin
+    return {"InceptionV2": params}
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def preprocess(images):
+    """Maps [0,255] pixels to [-1,1] (faster_rcnn inception preprocess)."""
+    return (2.0 / 255.0) * images - 1.0
+
+
+def _conv(x, w, stride, compute_dtype):
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bn_relu(x, bn):
+    inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPSILON)
+    x = (x - bn["moving_mean"]) * inv + bn["beta"]
+    return jax.nn.relu(x)
+
+
+def _conv_bn(params, x, stride, compute_dtype):
+    return _bn_relu(_conv(x, params["weights"], stride, compute_dtype), params["BatchNorm"])
+
+
+def _sep_conv_bn(params, x, stride, compute_dtype):
+    dw = params["depthwise_weights"].astype(compute_dtype)
+    kh, kw, cin, mult = dw.shape
+    out = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        dw.transpose(0, 1, 3, 2).reshape(kh, kw, 1, cin * mult),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=cin,
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.lax.conv_general_dilated(
+        out.astype(compute_dtype),
+        params["pointwise_weights"].astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return _bn_relu(out, params["BatchNorm"])
+
+
+def _pool(x, kind, kernel, stride):
+    if kind == "pool_max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
+        )
+    window = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
+    )
+    ones = jnp.ones(x.shape[1:3] + (1,), x.dtype)[None]
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add,
+        (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
+    )
+    return window / counts
+
+
+def _block(params, spec, x, compute_dtype):
+    outputs = []
+    for b, branch in enumerate(spec):
+        h = x
+        bp = params["Branch_%d" % b]
+        for name, k, cout, stride in branch:
+            if name.startswith("pool_"):
+                h = _pool(h, name, k, stride)
+            else:
+                h = _conv_bn(bp[name], h, stride, compute_dtype)
+        outputs.append(h)
+    return jnp.concatenate(outputs, axis=-1)
+
+
+def first_stage(params, images, compute_dtype=jnp.bfloat16):
+    """Image [B,H,W,3] (preprocessed) -> Mixed_4e features [B,H/16,W/16,576]."""
+    p = params["InceptionV2"]
+    x = _sep_conv_bn(p["Conv2d_1a_7x7"], images, 2, compute_dtype)
+    x = _pool(x, "pool_max", 3, 2)
+    x = _conv_bn(p["Conv2d_2b_1x1"], x, 1, compute_dtype)
+    x = _conv_bn(p["Conv2d_2c_3x3"], x, 1, compute_dtype)
+    x = _pool(x, "pool_max", 3, 2)
+    for name in ["Mixed_3b", "Mixed_3c", "Mixed_4a", "Mixed_4b", "Mixed_4c",
+                 "Mixed_4d", "Mixed_4e"]:
+        x = _block(p[name], _BLOCKS_FIRST[name], x, compute_dtype)
+    return x
+
+
+def second_stage(params, rois, compute_dtype=jnp.bfloat16):
+    """ROI features [N,S,S,576] -> Mixed_5c features [N,S',S',1024]."""
+    x = rois
+    p = params["InceptionV2"]
+    for name in ["Mixed_5a", "Mixed_5b", "Mixed_5c"]:
+        x = _block(p[name], _BLOCKS_SECOND[name], x, compute_dtype)
+    return x

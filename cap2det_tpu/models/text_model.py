@@ -22,17 +22,10 @@ from cap2det_tpu.models.registry import register_model_class
 from cap2det_tpu.text import classifier as classifier_lib
 from cap2det_tpu.text import extractors as extractors_lib
 
+from cap2det_tpu.ops.losses import sigmoid_cross_entropy
+
 FIELD_LOGITS = "logits"
 FIELD_TEXT_LOSS = "text_cross_entropy_loss"
-
-
-def sigmoid_cross_entropy(labels, logits):
-    """Numerically-stable sigmoid CE (tf.nn.sigmoid_cross_entropy_with_logits)."""
-    return (
-        jnp.maximum(logits, 0.0)
-        - logits * labels
-        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
 
 
 class TextModel:

@@ -1,0 +1,131 @@
+"""Benchmark: Cap2Det training step throughput (images/sec/chip).
+
+Runs the flagship configuration at paper-scale shapes — COCO 80 classes,
+batch 2, 1024x1536 canvas (the min-dimension-1000 bucket), 500 selective
+search proposals, InceptionV2 backbone in bfloat16, MIDN + 3 OICR
+iterations, Adagrad with the shipped gradient multipliers — and measures
+steady-state jitted train-step throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (TF 1.x) publishes no throughput numbers
+(SURVEY.md §6). BASELINE_IMAGES_PER_SEC below is our documented estimate
+of the TF-CPU reference throughput for this exact workload (batch-2
+forward+backward of faster_rcnn_inception_v2 at min-dim 1000 plus 500-ROI
+second stage is ~5 s/step on a modern CPU socket => ~0.4 img/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_IMAGES_PER_SEC = 0.4
+
+BATCH = 2
+CANVAS_HW = (1024, 1536)
+NUM_PROPOSALS = 500
+NUM_CLASSES = 80
+OICR_ITERATIONS = 3
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cap2det_tpu.config import pbtxt, schema
+    from cap2det_tpu.data import synthetic
+    from cap2det_tpu.models import registry
+    from cap2det_tpu.train import trainer as trainer_lib
+    import cap2det_tpu.models  # noqa: F401
+    import tempfile
+
+    classes = ["class_%02d" % i for i in range(NUM_CLASSES)]
+    label_file = synthetic.write_label_file(
+        os.path.join(tempfile.mkdtemp(prefix="bench_"), "labels.txt"), classes
+    )
+
+    import __graft_entry__ as graft
+
+    model_cfg = schema.Model.from_dict(
+        pbtxt.parse(graft._MODEL_PBTXT % label_file)["model"]
+    )
+    # Paper-scale head config.
+    m = model_cfg.cap2det_model
+    object.__setattr__(m, "oicr_iterations", OICR_ITERATIONS)
+    object.__setattr__(m.frcnn_options, "initial_crop_size", 14)
+    train_config = schema.Pipeline.from_dict(
+        pbtxt.parse(graft._TRAIN_PBTXT)
+    ).train_config
+
+    model = registry.build(model_cfg, is_training=True,
+                           compute_dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    state, tx, _ = trainer_lib.TrainState.create(model, train_config, rng)
+    train_step = jax.jit(
+        trainer_lib.make_train_step(model, tx, train_config), donate_argnums=0
+    )
+
+    rs = np.random.RandomState(0)
+    h, w = CANVAS_HW
+    y0 = rs.uniform(0, 0.5, (BATCH, NUM_PROPOSALS))
+    x0 = rs.uniform(0, 0.5, (BATCH, NUM_PROPOSALS))
+    batch = {
+        "image": rs.uniform(0, 255, (BATCH, h, w, 3)).astype(np.float32),
+        "proposals": np.stack(
+            [y0, x0, y0 + rs.uniform(0.1, 0.5, (BATCH, NUM_PROPOSALS)),
+             x0 + rs.uniform(0.1, 0.5, (BATCH, NUM_PROPOSALS))], -1
+        ).astype(np.float32),
+        "num_proposals": np.full((BATCH,), NUM_PROPOSALS, np.int32),
+        "labels": (rs.rand(BATCH, NUM_CLASSES) < 0.05).astype(np.float32),
+    }
+    batch = jax.device_put(batch)
+    step_rng = jax.random.PRNGKey(1)
+
+    # NOTE on timing methodology: on the axon-tunneled TPU,
+    # block_until_ready() returns before remote execution finishes; only a
+    # host materialization truly synchronizes (and the first one includes
+    # the remote compile). We therefore (a) force a float() after warmup,
+    # and (b) measure two runs of different step counts and use the slope,
+    # which cancels the constant dispatch+transfer overhead.
+    for _ in range(WARMUP_STEPS):
+        state, logs = train_step(state, batch, step_rng)
+    warm_loss = float(logs["loss/total_loss"])  # forces compile + execution
+    assert np.isfinite(warm_loss), warm_loss
+
+    def run(n):
+        nonlocal state
+        t0 = time.time()
+        for _ in range(n):
+            state, logs = train_step(state, batch, step_rng)
+        _ = float(logs["loss/total_loss"])  # sync
+        return time.time() - t0
+
+    n1, n2 = max(MEASURE_STEPS // 3, 1), MEASURE_STEPS
+    t1 = run(n1)
+    t2 = run(n2)
+    per_step = (t2 - t1) / (n2 - n1)
+    if per_step <= 0:  # overhead-dominated; fall back to the larger run
+        per_step = t2 / n2
+    images_per_sec = BATCH / per_step
+    print(
+        json.dumps(
+            {
+                "metric": "cap2det_train_images_per_sec_per_chip",
+                "value": round(images_per_sec, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Evaluation driver: multi-scale prediction, per-iteration VOC metrics,
+continuous checkpoint polling, best-model promotion.
+
+Mirrors the reference evaluator daemon (train/predict.py:328-611):
+  * polls the checkpoint dir, evaluates each new checkpoint,
+  * one detection evaluator per OICR iteration (+1 for the MIDN stage),
+  * multi-scale test-time inference: per ``eval_min_dimension`` the image
+    is re-resized and per-iteration proposal scores are averaged before
+    NMS (reference cap2det_model.py:231-272),
+  * optional COCO->VOC class remap (``eval_coco_on_voc``),
+  * metrics to JSONL/TensorBoard + CSV report, best checkpoint promoted
+    via saved_info.txt bookkeeping.
+
+Coordinates: with eval batch 1 the reference's padded batch is a no-op,
+so proposals/GT are true-image-normalized; we evaluate in those
+coordinates directly (IoU is invariant to the absolute-pixel conversion
+the reference applies, train/predict.py:377-415).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from cap2det_tpu.config import schema
+from cap2det_tpu.data import pipeline as pipeline_lib
+from cap2det_tpu.eval import voc_eval
+from cap2det_tpu.fields import DetectionFields
+from cap2det_tpu.models import registry
+from cap2det_tpu.train import checkpoint as ckpt_lib
+from cap2det_tpu.train import trainer as trainer_lib
+
+log = logging.getLogger("cap2det.eval")
+
+
+class MultiScalePredictor:
+    """Runs jitted per-scale score computation + NMS for one example."""
+
+    def __init__(self, model, params, reader_cfg: schema.Cap2DetReader,
+                 aspect_cap=1.5, canvas_multiple=32):
+        self._model = model
+        self._params = params
+        self._reader = reader_cfg
+        self._aspect_cap = aspect_cap
+        self._multiple = canvas_multiple
+
+        min_dims = list(model.options.eval_min_dimension)
+        if not min_dims:
+            resizer = reader_cfg.image_resizer
+            if resizer and resizer.which_oneof() == "keep_aspect_ratio_resizer":
+                min_dims = [resizer.keep_aspect_ratio_resizer.min_dimension]
+            else:
+                min_dims = [600]
+        self._min_dims = min_dims
+
+        self._jit_scores = jax.jit(
+            lambda p, b: {
+                k: v
+                for k, v in model.predictions(p, b, is_training=False).items()
+                if k in set(model.score_keys())
+            }
+        )
+        self._jit_post = jax.jit(
+            lambda scores, props: model.postprocess(scores, props)
+        )
+
+    def update_params(self, params):
+        self._params = params
+
+    def predict(self, example):
+        """Returns a per-image dict of detections per OICR iteration."""
+        image = pipeline_lib.decode_jpeg(example["image_encoded"])
+        h, w = image.shape[:2]
+        landscape = w >= h
+        max_p = self._reader.max_num_proposals
+        props_true = np.zeros((max_p, 4), np.float32)
+        n_props = min(len(example["proposals"]), max_p)
+        props_true[:n_props] = example["proposals"][:n_props]
+
+        score_sum = None
+        for min_dim in self._min_dims:
+            short, long = pipeline_lib.compute_canvas(
+                min_dim, 1.0, self._aspect_cap, self._multiple
+            )
+            ch, cw = (short, long) if landscape else (long, short)
+            canvas, (new_h, new_w) = pipeline_lib.fit_image_to_canvas(
+                image, (ch, cw)
+            )
+            fy, fx = new_h / ch, new_w / cw
+            scale_vec = np.array([fy, fx, fy, fx], np.float32)
+            batch = {
+                "image": canvas[None],
+                "proposals": (props_true * scale_vec)[None],
+                "num_proposals": np.array([n_props], np.int32),
+            }
+            scores = self._jit_scores(self._params, batch)
+            scores = {k: np.asarray(v) for k, v in scores.items()}
+            if score_sum is None:
+                score_sum = scores
+            else:
+                score_sum = {k: score_sum[k] + scores[k] for k in score_sum}
+
+        score_mean = {k: v / len(self._min_dims) for k, v in score_sum.items()}
+        results = self._jit_post(score_mean, props_true[None])
+        out = {k: np.asarray(v)[0] for k, v in results.items()}
+        out["image_id"] = example["image_id"]
+        out["proposal_scores"] = score_mean
+        out["num_proposals"] = n_props
+        out["proposals"] = props_true
+        return out
+
+
+def build_detection_evaluators(model, eval_coco_on_voc=False):
+    """One evaluator per OICR iteration (reference predict.py:565-576)."""
+    if eval_coco_on_voc:
+        from cap2det_tpu.data.synthetic import VOC_CLASSES
+
+        categories = [
+            {"id": i + 1, "name": name} for i, name in enumerate(VOC_CLASSES)
+        ]
+    else:
+        categories = [
+            {"id": i + 1, "name": name}
+            for i, name in enumerate(model.label_extractor.classes)
+        ]
+    n = 1 + model.options.oicr_iterations
+    return [
+        voc_eval.PascalDetectionEvaluator(categories) for _ in range(n)
+    ], categories
+
+
+def run_evaluation(
+    pipeline_config: schema.Pipeline,
+    params,
+    model=None,
+    max_eval_examples=None,
+    eval_coco_on_voc=False,
+    visualize_fn=None,
+):
+    """Single evaluation pass. Returns (metrics dict, per-iteration mAP list)."""
+    if model is None:
+        model = registry.build(pipeline_config.model, is_training=False)
+    reader_cfg = pipeline_config.eval_reader.cap2det_reader
+    pipe = pipeline_lib.InputPipeline(reader_cfg, prefetch=0)
+    predictor = MultiScalePredictor(model, params, reader_cfg)
+    evaluators, categories = build_detection_evaluators(model, eval_coco_on_voc)
+    category_to_id = {c["name"]: c["id"] for c in categories}
+
+    count = 0
+    for example in pipe.example_stream():
+        if example.get("image_encoded") is None:
+            continue
+        result = predictor.predict(example)
+
+        gt_sel = [
+            (box, category_to_id[text])
+            for box, text in zip(example["object_boxes"], example["object_texts"])
+            if text in category_to_id
+        ]
+        gt_boxes = np.array([b for b, _ in gt_sel], np.float32).reshape(-1, 4)
+        gt_classes = np.array([c for _, c in gt_sel], np.int64)
+
+        for i, evaluator in enumerate(evaluators):
+            suffix = "_at_%d" % i
+            n = int(result[DetectionFields.num_detections + suffix])
+            boxes = result[DetectionFields.detection_boxes + suffix][:n]
+            scores = result[DetectionFields.detection_scores + suffix][:n]
+            classes = result[DetectionFields.detection_classes + suffix][:n]
+            if eval_coco_on_voc:
+                boxes, scores, classes = voc_eval.convert_coco_result_to_voc(
+                    boxes, scores, classes
+                )
+            evaluator.add_single_ground_truth_image_info(
+                result["image_id"],
+                {
+                    "groundtruth_boxes": gt_boxes,
+                    "groundtruth_classes": gt_classes,
+                    "groundtruth_difficult": np.zeros(len(gt_boxes), bool),
+                },
+            )
+            evaluator.add_single_detected_image_info(
+                result["image_id"],
+                {
+                    "detection_boxes": boxes,
+                    "detection_scores": scores,
+                    "detection_classes": classes,
+                },
+            )
+        if visualize_fn is not None:
+            visualize_fn(example, result)
+        count += 1
+        if max_eval_examples and count >= max_eval_examples:
+            break
+
+    metrics = {}
+    map_per_iter = []
+    for i, evaluator in enumerate(evaluators):
+        res = evaluator.evaluate()
+        for k, v in res.items():
+            metrics["iter%d/%s" % (i, k)] = v
+        map_key = [k for k in res if k.endswith("mAP@0.5IOU")][0]
+        map_per_iter.append(res[map_key])
+    metrics["num_examples"] = count
+    return metrics, map_per_iter
+
+
+def write_csv_report(path, metrics):
+    with open(path, "w") as fid:
+        for key in sorted(metrics):
+            fid.write("%s,%s\n" % (key, metrics[key]))
+
+
+def continuous_evaluation(
+    pipeline_config: schema.Pipeline,
+    model_dir=None,
+    max_eval_examples=None,
+    eval_coco_on_voc=False,
+    poll_interval_secs=10,
+    min_eval_steps=0,
+    max_idle_polls=None,
+):
+    """Checkpoint-polling evaluation daemon (reference predict.py:578-611)."""
+    model_dir = model_dir or pipeline_config.model_dir
+    model = registry.build(pipeline_config.model, is_training=False)
+    saved_dir = os.path.join(model_dir, "saved_ckpts")
+    evaluated = set()
+    idle = 0
+    best = None
+    while True:
+        step, path = ckpt_lib.latest_checkpoint(model_dir)
+        if step is None or step in evaluated or step < min_eval_steps:
+            idle += 1
+            if max_idle_polls is not None and idle > max_idle_polls:
+                return best
+            time.sleep(poll_interval_secs)
+            continue
+        idle = 0
+        manager = ckpt_lib.CheckpointManager(model_dir)
+        state = manager.restore(step=step)
+        manager.close()
+        # Evaluate the moving average when present (swapping-saver parity).
+        params = state.get("ema") or state["params"]
+        metrics, map_per_iter = run_evaluation(
+            pipeline_config,
+            params,
+            model=model,
+            max_eval_examples=max_eval_examples,
+            eval_coco_on_voc=eval_coco_on_voc,
+        )
+        final_map = map_per_iter[-1]
+        log.info("step %d mAP per iter: %s", step, map_per_iter)
+        write_csv_report(
+            os.path.join(model_dir, "eval_report_%d.csv" % step), metrics
+        )
+        with open(os.path.join(model_dir, "eval_metrics.jsonl"), "a") as fid:
+            fid.write(json.dumps({"step": int(step), **{
+                k: float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float, np.floating))
+            }}) + "\n")
+        ckpt_lib.save_model_if_it_is_better(
+            step, final_map, path, saved_dir
+        )
+        evaluated.add(step)
+        best = (step, final_map)

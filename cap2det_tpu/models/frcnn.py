@@ -84,7 +84,8 @@ def extract_features(
     box_features = inception_v2.second_stage(
         params[SECOND_SCOPE], rois, compute_dtype=compute_dtype
     )
-    pooled = box_features.mean(axis=(1, 2))  # [B*P, 1024]
+    # Spatial mean in fp32; downstream FC heads and losses run in fp32.
+    pooled = box_features.astype(jnp.float32).mean(axis=(1, 2))  # [B*P, 1024]
 
     if is_training and options.dropout_keep_prob < 1.0:
         pooled = _dropout(pooled, options.dropout_keep_prob, dropout_rng)

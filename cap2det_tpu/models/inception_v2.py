@@ -244,20 +244,23 @@ def preprocess(images):
 
 
 def _conv(x, w, stride, compute_dtype):
+    # Activations and weights in compute_dtype (bf16 on TPU; the MXU
+    # accumulates in fp32 internally); BN runs in fp32 and casts back.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 
 def _bn_relu(x, bn):
+    out_dtype = x.dtype
+    x = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPSILON)
     x = (x - bn["moving_mean"]) * inv + bn["beta"]
-    return jax.nn.relu(x)
+    return jax.nn.relu(x).astype(out_dtype)
 
 
 def _conv_bn(params, x, stride, compute_dtype):
@@ -274,35 +277,74 @@ def _sep_conv_bn(params, x, stride, compute_dtype):
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=cin,
-        preferred_element_type=jnp.float32,
     )
     out = jax.lax.conv_general_dilated(
-        out.astype(compute_dtype),
+        out,
         params["pointwise_weights"].astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     return _bn_relu(out, params["BatchNorm"])
 
 
+def _same_pads(size, kernel, stride):
+    out = -(-size // stride)
+    pad_total = max((out - 1) * stride + kernel - size, 0)
+    return out, pad_total // 2, pad_total - pad_total // 2
+
+
 def _pool(x, kind, kernel, stride):
+    """SAME-padded pooling via shifted strided slices.
+
+    Expressed as elementwise max/sum over k*k shifted views instead of
+    lax.reduce_window: differentiable everywhere (reduce_window lacks a
+    linearization rule under jit on this platform) and fuses into
+    neighboring elementwise ops. TF avg-pool SAME semantics: padding
+    excluded from the divisor.
+    """
+    b, h, w, c = x.shape
+    out_h, pad_t, pad_b = _same_pads(h, kernel, stride)
+    out_w, pad_l, pad_r = _same_pads(w, kernel, stride)
     if kind == "pool_max":
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max,
-            (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
-        )
-    window = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
+        fill = jnp.asarray(-jnp.inf, x.dtype)
+    else:
+        fill = jnp.asarray(0.0, x.dtype)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+        constant_values=fill,
     )
-    ones = jnp.ones(x.shape[1:3] + (1,), x.dtype)[None]
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add,
-        (1, kernel, kernel, 1), (1, stride, stride, 1), "SAME",
-    )
-    return window / counts
+    acc = None
+    for i in range(kernel):
+        for j in range(kernel):
+            view = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (b, i + (out_h - 1) * stride + 1, j + (out_w - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            if acc is None:
+                acc = view
+            elif kind == "pool_max":
+                acc = jnp.maximum(acc, view)
+            else:
+                acc = acc + view
+    if kind == "pool_max":
+        return acc
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    ones = jnp.pad(ones, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+    counts = None
+    for i in range(kernel):
+        for j in range(kernel):
+            view = jax.lax.slice(
+                ones,
+                (0, i, j, 0),
+                (1, i + (out_h - 1) * stride + 1, j + (out_w - 1) * stride + 1, 1),
+                (1, stride, stride, 1),
+            )
+            counts = view if counts is None else counts + view
+    return acc / counts
 
 
 def _block(params, spec, x, compute_dtype):

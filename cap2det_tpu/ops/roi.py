@@ -75,19 +75,29 @@ def crop_and_resize(features, boxes, crop_size):
 
 
 def max_pool_2d(x, kernel, stride):
-    """Max pool over the two spatial dims of [..., H, W, C] (VALID)."""
+    """Max pool over the two spatial dims of [..., H, W, C] (VALID).
+
+    Shifted-strided-slice formulation (differentiable everywhere, fuses
+    into neighbors; lax.reduce_window lacks a linearization rule under jit
+    on this platform).
+    """
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     x4 = x.reshape((-1, h, w, c))
-    out = jax.lax.reduce_window(
-        x4,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, stride, stride, 1),
-        padding="VALID",
-    )
-    return out.reshape(lead + out.shape[1:])
+    n = x4.shape[0]
+    out_h = (h - kernel) // stride + 1
+    out_w = (w - kernel) // stride + 1
+    acc = None
+    for i in range(kernel):
+        for j in range(kernel):
+            view = jax.lax.slice(
+                x4,
+                (0, i, j, 0),
+                (n, i + (out_h - 1) * stride + 1, j + (out_w - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            acc = view if acc is None else jnp.maximum(acc, view)
+    return acc.reshape(lead + (out_h, out_w, c))
 
 
 def crop_resize_maxpool(features, boxes, crop_size, pool_kernel, pool_stride):

@@ -41,11 +41,14 @@ class CheckpointManager:
     def latest_step(self):
         return self._manager.latest_step()
 
-    def restore(self, state_like, step=None):
+    def restore(self, state_like=None, step=None):
+        """Restores a checkpoint; with state_like=None returns the raw tree."""
         if step is None:
             step = self._manager.latest_step()
         if step is None:
             return None
+        if state_like is None:
+            return self._manager.restore(step)
         return self._manager.restore(
             step, args=ocp.args.StandardRestore(state_like)
         )

@@ -104,11 +104,16 @@ def train(
     seed=0,
     use_mesh=True,
     hooks=(),
+    pretrained_checkpoint=None,
 ):
     """Runs training per the pipeline config. Returns the final state.
 
     Args:
       hooks: callables hook(step, state, logs) invoked after each step.
+      pretrained_checkpoint: optional converted ImageNet backbone (orbax
+        dir from tools/convert_tf_checkpoint.py); overlaid on fresh inits
+        only — resuming from a checkpoint wins (reference warm-start
+        semantics, models/utils.py:181-186).
     """
     model_dir = model_dir or pipeline_config.model_dir
     train_config = pipeline_config.train_config
@@ -123,6 +128,13 @@ def train(
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     state, tx, schedule = TrainState.create(model, train_config, init_rng)
+
+    if pretrained_checkpoint and hasattr(model, "load_pretrained"):
+        converted = ckpt_lib.restore_params(pretrained_checkpoint)
+        state["params"] = model.load_pretrained(state["params"], converted)
+        if "ema" in state:
+            state["ema"] = optimizers.ema_init(state["params"])
+        log.info("loaded pretrained backbone from %s", pretrained_checkpoint)
 
     manager = None
     writer = None

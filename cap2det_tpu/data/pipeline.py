@@ -259,6 +259,18 @@ class InputPipeline:
             )
         return files
 
+    def _read_records(self, path):
+        """Record iterator: native C++ reader with readahead when built,
+        pure-Python fallback otherwise."""
+        try:
+            from cap2det_tpu import native
+
+            if native.available():
+                return native.read_records_native(path)
+        except Exception:  # pragma: no cover - fall back quietly
+            pass
+        return tfrecord.read_records(path)
+
     def example_stream(self):
         """Yields parsed host examples (single pass unless training)."""
         rng = random.Random(self.seed)
@@ -270,7 +282,7 @@ class InputPipeline:
             if is_training:
                 rng.shuffle(ordered)
             for path in ordered:
-                for record in tfrecord.read_records(path):
+                for record in self._read_records(path):
                     example = parse_example(record, self.options.decode_image)
                     if self._shard is not None:
                         numer, denom = self._shard

@@ -33,10 +33,11 @@ class Cap2DetModel:
     non_trainable_substrings = ("/BatchNorm/moving_",)
 
     def __init__(self, options: schema.Cap2DetModel, is_training=False,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, use_pallas=None):
         self._options = options
         self._is_training = is_training
         self._compute_dtype = compute_dtype
+        self._use_pallas = use_pallas
         self.label_extractor = extractors_lib.build_label_extractor(
             options.label_extractor
         )
@@ -120,6 +121,7 @@ class Cap2DetModel:
             is_training=is_training,
             dropout_rng=rng,
             compute_dtype=self._compute_dtype,
+            use_pallas=self._use_pallas,
         )
 
         class_logits, proposal_scores, proba_r_given_c = wsod.midn_head(

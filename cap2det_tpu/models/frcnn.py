@@ -52,6 +52,7 @@ def extract_features(
     is_training=False,
     dropout_rng=None,
     compute_dtype=jnp.bfloat16,
+    use_pallas=None,
 ):
     """Returns [batch, P, feature_dims] pooled proposal features.
 
@@ -59,7 +60,13 @@ def extract_features(
       params: {first/second_stage_feature_extraction: inception params}.
       images: [B, H, W, 3] raw pixel values in [0, 255].
       proposals: [B, P, 4] canvas-normalized boxes.
+      use_pallas: route the ROI crop+pool through the fused Pallas kernel
+        (kernels/roi_pool.py). Default: on when running on TPU.
     """
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
     batch, num_proposals = proposals.shape[:2]
 
     preprocessed = inception_v2.preprocess(images)
@@ -71,13 +78,24 @@ def extract_features(
         dropout_rng, rng = jax.random.split(dropout_rng)
         features = _dropout(features, options.dropout_keep_prob, rng)
 
-    rois = roi_ops.crop_resize_maxpool(
-        features,
-        proposals,
-        crop_size=options.initial_crop_size,
-        pool_kernel=options.maxpool_kernel_size,
-        pool_stride=options.maxpool_stride,
-    )  # [B, P, S', S', C]
+    if use_pallas:
+        from cap2det_tpu.kernels import roi_pool
+
+        rois = roi_pool.roi_crop_maxpool(
+            features,
+            proposals,
+            options.initial_crop_size,
+            options.maxpool_kernel_size,
+            options.maxpool_stride,
+        )  # [B, P, S', S', C]
+    else:
+        rois = roi_ops.crop_resize_maxpool(
+            features,
+            proposals,
+            crop_size=options.initial_crop_size,
+            pool_kernel=options.maxpool_kernel_size,
+            pool_stride=options.maxpool_stride,
+        )  # [B, P, S', S', C]
 
     s = rois.shape[2]
     rois = rois.reshape(batch * num_proposals, s, s, rois.shape[-1])

@@ -103,12 +103,15 @@ def build_optimizer(
     train_config: schema.TrainConfig,
     params,
     non_trainable_paths=(),
+    non_trainable_substrings=(),
 ):
     """Builds (optimizer, trainable_mask) for a params pytree.
 
     trainable_mask mirrors the reference's variables_to_train pruning:
     a leaf is frozen when a gradient multiplier of 0.0 matches its path
-    or the model marks it non-trainable (e.g. frozen word embeddings).
+    or the model marks it non-trainable — by path prefix (frozen word
+    embeddings) or substring (BatchNorm moving statistics, which are
+    never gradient-trained in the reference's slim layers).
     """
     schedule = build_learning_rate_schedule(train_config)
     base = build_base_optimizer(train_config.optimizer, schedule)
@@ -118,6 +121,8 @@ def build_optimizer(
 
     def label_for(path):
         if any(path.startswith(p) for p in non_trainable_paths):
+            return "frozen"
+        if any(s in path for s in non_trainable_substrings):
             return "frozen"
         mult = resolve_multiplier(path, multipliers)
         if mult is None:

@@ -41,7 +41,12 @@ class TrainState:
     def create(model, train_config, rng):
         params = model.init_params(rng)
         tx, mask, schedule = optimizers.build_optimizer(
-            train_config, params, non_trainable_paths=model.non_trainable_paths
+            train_config,
+            params,
+            non_trainable_paths=model.non_trainable_paths,
+            non_trainable_substrings=getattr(
+                model, "non_trainable_substrings", ()
+            ),
         )
         opt_state = tx.init(params)
         state = {

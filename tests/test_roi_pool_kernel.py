@@ -1,0 +1,93 @@
+"""Pallas fused ROI crop+pool kernel vs the XLA reference implementation
+(interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cap2det_tpu.kernels import roi_pool
+from cap2det_tpu.ops import roi as roi_ops
+
+
+def _random_case(seed, batch=2, num_p=6, h=12, w=16, c=8):
+    rng = np.random.RandomState(seed)
+    features = rng.randn(batch, h, w, c).astype(np.float32)
+    y0 = rng.uniform(-0.1, 0.7, (batch, num_p))
+    x0 = rng.uniform(-0.1, 0.7, (batch, num_p))
+    boxes = np.stack(
+        [y0, x0, y0 + rng.uniform(0.1, 0.5, (batch, num_p)),
+         x0 + rng.uniform(0.1, 0.5, (batch, num_p))], -1
+    ).astype(np.float32)
+    return features, boxes
+
+
+@pytest.mark.parametrize("crop_size", [4, 6])
+def test_forward_matches_xla(crop_size):
+    features, boxes = _random_case(0)
+    ours = np.asarray(
+        roi_pool.roi_crop_maxpool(
+            features, boxes, crop_size, 2, 2, interpret=True
+        )
+    )
+    ref = np.asarray(
+        roi_ops.crop_resize_maxpool(features, boxes, crop_size, 2, 2)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_outside_boxes_zero():
+    features, _ = _random_case(1)
+    boxes = np.tile(
+        np.array([[[-1.0, -1.0, -0.2, -0.2]]], np.float32), (2, 3, 1)
+    )
+    out = np.asarray(
+        roi_pool.roi_crop_maxpool(features, boxes, 4, 2, 2, interpret=True)
+    )
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_gradient_matches_xla():
+    features, boxes = _random_case(2)
+    g_target = np.random.RandomState(3).randn(2, 6, 3, 3, 8).astype(np.float32)
+
+    def loss_pallas(f):
+        out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
+        return jnp.sum(out * g_target)
+
+    def loss_xla(f):
+        out = roi_ops.crop_resize_maxpool(f, boxes, 6, 2, 2)
+        return jnp.sum(out * g_target)
+
+    g1 = np.asarray(jax.grad(loss_pallas)(features))
+    g2 = np.asarray(jax.grad(loss_xla)(features))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+
+def test_channel_blocking():
+    features, boxes = _random_case(4, c=16)
+    full = np.asarray(
+        roi_pool.roi_crop_maxpool(
+            features, boxes, 4, 2, 2, channel_block=16, interpret=True
+        )
+    )
+    blocked = np.asarray(
+        roi_pool.roi_crop_maxpool(
+            features, boxes, 4, 2, 2, channel_block=8, interpret=True
+        )
+    )
+    np.testing.assert_allclose(full, blocked, rtol=1e-6)
+
+
+def test_bfloat16_features():
+    features, boxes = _random_case(5)
+    out = roi_pool.roi_crop_maxpool(
+        features.astype(jnp.bfloat16), boxes, 4, 2, 2, interpret=True
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = roi_ops.crop_resize_maxpool(
+        features.astype(jnp.bfloat16).astype(np.float32), boxes, 4, 2, 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2
+    )

@@ -154,11 +154,23 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
         dfeat_ref[0, pl.ds(y_idx[i], 2), :, :] += contrib
 
 
+def _pad_channels(x, cb):
+    """Pads the channel axis to a multiple of the block size (Mosaic
+    requires lane-dim blocks to be multiples of 128 or the full axis)."""
+    channels = x.shape[-1]
+    pad = (-channels) % cb
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
 def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
              channel_block, interpret):
+    orig_channels = features.shape[-1]
+    features = _pad_channels(features, channel_block)
     batch, height, width, channels = features.shape
     num_p = boxes.shape[1]
-    cb = channel_block if channels % channel_block == 0 else channels
+    cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
     grid = (batch, channels // cb, num_p)
@@ -187,14 +199,17 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(boxes, features)
+    )(boxes, features)[..., :orig_channels]
 
 
 def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
               channel_block, interpret):
+    orig_channels = features.shape[-1]
+    features = _pad_channels(features, channel_block)
+    grad = _pad_channels(grad, channel_block)
     batch, height, width, channels = features.shape
     num_p = boxes.shape[1]
-    cb = channel_block if channels % channel_block == 0 else channels
+    cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
     grid = (batch, channels // cb, num_p)
@@ -228,14 +243,14 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
         ],
         interpret=interpret,
     )(boxes, features, grad)
-    return dfeat.astype(features.dtype)
+    return dfeat[..., :orig_channels].astype(features.dtype)
 
 
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
 )
 def roi_crop_maxpool(features, boxes, crop_size, pool_kernel=2,
-                     pool_stride=2, channel_block=192, interpret=False):
+                     pool_stride=2, channel_block=128, interpret=False):
     """Fused TF-semantics crop_and_resize + max-pool.
 
     Args:

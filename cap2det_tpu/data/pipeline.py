@@ -390,6 +390,12 @@ class InputPipeline:
 
         for i, ex in enumerate(examples):
             image = ex["_decoded_image"]
+            if opt.is_training and opt.preprocess_options is not None:
+                from cap2det_tpu.data import augment
+
+                image = augment.apply_photometric(
+                    image, opt.preprocess_options, rng
+                )
             flip = opt.is_training and rng.random() < flip_prob
             if flip:
                 image = image[:, ::-1]

@@ -110,6 +110,8 @@ def train(
     use_mesh=True,
     hooks=(),
     pretrained_checkpoint=None,
+    profile_steps=None,
+    profiler_port=None,
 ):
     """Runs training per the pipeline config. Returns the final state.
 
@@ -119,6 +121,11 @@ def train(
         dir from tools/convert_tf_checkpoint.py); overlaid on fresh inits
         only — resuming from a checkpoint wins (reference warm-start
         semantics, models/utils.py:181-186).
+      profile_steps: optional (start, stop) step pair; captures a
+        jax.profiler trace to <model_dir>/profile between them (the
+        reference had no profiler at all, SURVEY.md §5).
+      profiler_port: optional port for jax.profiler.start_server (live
+        TensorBoard profiling endpoint).
     """
     model_dir = model_dir or pipeline_config.model_dir
     train_config = pipeline_config.train_config
@@ -169,11 +176,24 @@ def train(
     t_start = time.time()
     t_window, window_steps, window_examples = time.time(), 0, 0
     logs = {}
-    profiler_dir = os.path.join(model_dir, "profile") if model_dir else None
+    profiler_dir = os.path.join(model_dir or ".", "profile")
+    if profiler_port:
+        jax.profiler.start_server(profiler_port)
+        log.info("profiler server on port %d", profiler_port)
+    profiling = False
 
     for host_batch in pipe:
         if step >= max_steps:
             break
+        if profile_steps is not None:
+            if not profiling and step == profile_steps[0]:
+                jax.profiler.start_trace(profiler_dir)
+                profiling = True
+            elif profiling and step >= profile_steps[1]:
+                jax.block_until_ready(logs)
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace written to %s", profiler_dir)
         batch = model.device_batch(host_batch)
         rng, step_rng = jax.random.split(rng)
         if mesh is not None:
@@ -212,6 +232,9 @@ def train(
         for hook in hooks:
             hook(step, state, logs)
 
+    if profiling:
+        jax.block_until_ready(logs)
+        jax.profiler.stop_trace()
     if manager is not None:
         manager.save(step, jax.device_get(state))
         manager.close()

@@ -120,3 +120,14 @@ def test_defaults_and_presence():
 def test_unknown_field_rejected():
     with pytest.raises(schema.ConfigError):
         schema.loads_pipeline("train_config { bogus_field: 1 }")
+
+
+OUR_CONFIGS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "configs", "*.pbtxt")))
+
+
+@pytest.mark.parametrize(
+    "path", OUR_CONFIGS, ids=[os.path.basename(p) for p in OUR_CONFIGS]
+)
+def test_shipped_config_parses(path):
+    pipeline = schema.load_pipeline(path)
+    assert pipeline.model.which_oneof() in ("cap2det_model", "text_model")

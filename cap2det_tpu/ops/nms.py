@@ -36,6 +36,7 @@ def _per_image_nms(boxes, scores, iou_thresh, score_thresh, max_per_class):
     # Descending stable order per class: [C, P] of box indices.
     order = jnp.argsort(-scores.T, axis=-1, stable=True)
     valid0 = (scores.T > score_thresh)  # [C, P]
+    rank = jnp.argsort(order, axis=-1, stable=True)  # rank of each box per class
 
     def body(i, keep):
         cur = order[:, i]  # [C] current box index per class
@@ -44,7 +45,6 @@ def _per_image_nms(boxes, scores, iou_thresh, score_thresh, max_per_class):
         active = cur_alive & cur_valid  # [C]
         overlap = iou[cur] > iou_thresh  # [C, P]
         # Suppress boxes strictly after `cur` in this class's order.
-        rank = jnp.argsort(order, axis=-1, stable=True)  # rank of each box
         later = rank > i
         suppress = active[:, None] & overlap & later
         return keep & ~suppress

@@ -245,13 +245,24 @@ def continuous_evaluation(
         manager.close()
         # Evaluate the moving average when present (swapping-saver parity).
         params = state.get("ema") or state["params"]
+
+        from cap2det_tpu.eval.html_report import HTMLReport
+
+        report = HTMLReport(
+            model.label_extractor.classes, max_examples=20
+        )
+        final_iter = model.options.oicr_iterations
         metrics, map_per_iter = run_evaluation(
             pipeline_config,
             params,
             model=model,
             max_eval_examples=max_eval_examples,
             eval_coco_on_voc=eval_coco_on_voc,
+            visualize_fn=lambda ex, res: report.add_example(
+                ex, res, final_iter
+            ),
         )
+        report.write(os.path.join(model_dir, "eval_report_%d.html" % step))
         final_map = map_per_iter[-1]
         log.info("step %d mAP per iter: %s", step, map_per_iter)
         write_csv_report(

@@ -68,9 +68,9 @@ def main():
                            compute_dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
-    state, tx, _ = trainer_lib.TrainState.create(model, train_config, rng)
+    state, tx, _, mask = trainer_lib.TrainState.create(model, train_config, rng)
     train_step = jax.jit(
-        trainer_lib.make_train_step(model, tx, train_config), donate_argnums=0
+        trainer_lib.make_train_step(model, tx, train_config, mask), donate_argnums=0
     )
 
     rs = np.random.RandomState(0)

@@ -134,6 +134,28 @@ def build_detection_evaluators(model, eval_coco_on_voc=False):
     ], categories
 
 
+def run_text_evaluation(pipeline_config, params, model=None,
+                        max_eval_examples=None):
+    """Text-model evaluation: precision/recall at thresholds and @k
+    (reference models/text_model.py:84-126)."""
+    if model is None:
+        model = registry.build(pipeline_config.model, is_training=False)
+    pipe = pipeline_lib.build_input_pipeline(
+        pipeline_config.eval_reader, **model.pipeline_kwargs()
+    )
+    metrics = model.make_metrics()
+    count = 0
+    for host_batch in pipe:
+        model.evaluate_batch(metrics, params, model.device_batch(host_batch))
+        count += 1
+        if max_eval_examples and count >= max_eval_examples:
+            break
+    result = metrics.result()
+    result["num_examples"] = count
+    # The promotion metric: recall at the 0.5 threshold.
+    return result, [result["metrics/recall_at_0.5"]]
+
+
 def run_evaluation(
     pipeline_config: schema.Pipeline,
     params,
@@ -145,6 +167,11 @@ def run_evaluation(
     """Single evaluation pass. Returns (metrics dict, per-iteration mAP list)."""
     if model is None:
         model = registry.build(pipeline_config.model, is_training=False)
+    if not hasattr(model, "postprocess"):  # text model family
+        return run_text_evaluation(
+            pipeline_config, params, model=model,
+            max_eval_examples=max_eval_examples,
+        )
     reader_cfg = pipeline_config.eval_reader.cap2det_reader
     pipe = pipeline_lib.InputPipeline(reader_cfg, prefetch=0)
     predictor = MultiScalePredictor(model, params, reader_cfg)
@@ -246,23 +273,28 @@ def continuous_evaluation(
         # Evaluate the moving average when present (swapping-saver parity).
         params = state.get("ema") or state["params"]
 
-        from cap2det_tpu.eval.html_report import HTMLReport
+        report = None
+        visualize_fn = None
+        if hasattr(model, "postprocess"):
+            from cap2det_tpu.eval.html_report import HTMLReport
 
-        report = HTMLReport(
-            model.label_extractor.classes, max_examples=20
-        )
-        final_iter = model.options.oicr_iterations
+            report = HTMLReport(model.label_extractor.classes, max_examples=20)
+            final_iter = model.options.oicr_iterations
+            visualize_fn = lambda ex, res: report.add_example(  # noqa: E731
+                ex, res, final_iter
+            )
         metrics, map_per_iter = run_evaluation(
             pipeline_config,
             params,
             model=model,
             max_eval_examples=max_eval_examples,
             eval_coco_on_voc=eval_coco_on_voc,
-            visualize_fn=lambda ex, res: report.add_example(
-                ex, res, final_iter
-            ),
+            visualize_fn=visualize_fn,
         )
-        report.write(os.path.join(model_dir, "eval_report_%d.html" % step))
+        if report is not None:
+            report.write(
+                os.path.join(model_dir, "eval_report_%d.html" % step)
+            )
         final_map = map_per_iter[-1]
         log.info("step %d mAP per iter: %s", step, map_per_iter)
         write_csv_report(

@@ -56,11 +56,18 @@ class TrainState:
         }
         if train_config.has_field("moving_average_decay"):
             state["ema"] = optimizers.ema_init(params)
-        return state, tx, schedule
+        return state, tx, schedule, mask
 
 
-def make_train_step(model, tx, train_config):
-    """Builds the jittable train step fn(state, batch, rng) -> (state, logs)."""
+def make_train_step(model, tx, train_config, trainable_mask=None):
+    """Builds the jittable train step fn(state, batch, rng) -> (state, logs).
+
+    Frozen leaves (trainable_mask False) are stop_gradient'ed inside the
+    loss so XLA dead-code-eliminates their whole backward cone — the
+    reference likewise only differentiates variables_to_train
+    (train/trainer.py:141-146); without this, the frozen first-stage
+    backbone's backward pass would be computed and thrown away.
+    """
     ema_decay = (
         train_config.moving_average_decay
         if train_config.has_field("moving_average_decay")
@@ -71,6 +78,12 @@ def make_train_step(model, tx, train_config):
         params = state["params"]
 
         def loss_fn(p):
+            if trainable_mask is not None:
+                p = jax.tree.map(
+                    lambda leaf, t: leaf if t else jax.lax.stop_gradient(leaf),
+                    p,
+                    trainable_mask,
+                )
             total, loss_dict = model.loss(p, batch, rng=rng, is_training=True)
             return total, loss_dict
 
@@ -139,7 +152,9 @@ def train(
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
-    state, tx, schedule = TrainState.create(model, train_config, init_rng)
+    state, tx, schedule, trainable_mask = TrainState.create(
+        model, train_config, init_rng
+    )
 
     if pretrained_checkpoint and hasattr(model, "load_pretrained"):
         converted = ckpt_lib.restore_params(pretrained_checkpoint)
@@ -170,7 +185,10 @@ def train(
         # the collective).
         state = jax.device_put(state, mesh_lib.replicated(mesh))
 
-    train_step = jax.jit(make_train_step(model, tx, train_config), donate_argnums=0)
+    train_step = jax.jit(
+        make_train_step(model, tx, train_config, trainable_mask),
+        donate_argnums=0,
+    )
 
     step = int(state["step"])
     t_start = time.time()

@@ -202,3 +202,57 @@ def test_cap2det_eval_path(tmp_path):
     assert set(first) == {
         "detection_boxes", "detection_scores", "detection_classes",
     }
+
+
+def test_text_model_eval_dispatch(tmp_path):
+    """run_evaluation dispatches to the text-metrics path for TextModel."""
+    import jax
+    import numpy as np
+
+    from cap2det_tpu.config import schema
+    from cap2det_tpu.data import synthetic
+    from cap2det_tpu.eval import evaluator as evaluator_lib
+    from cap2det_tpu.models import registry
+    import cap2det_tpu.models  # noqa: F401
+
+    classes = ["person", "dog"]
+    record = str(tmp_path / "t.record")
+    synthetic.write_synthetic_dataset(
+        record, num_examples=6, seed=1, classes=classes, with_image=False
+    )
+    label_file = synthetic.write_label_file(str(tmp_path / "l.txt"), classes)
+    vocab_file = str(tmp_path / "v.txt")
+    open(vocab_file, "w").write("\n".join(classes + ["a", "the"]))
+    emb_file = str(tmp_path / "e.npy")
+    np.save(emb_file, np.random.RandomState(0).randn(4, 8).astype(np.float32))
+
+    cfg = schema.loads_pipeline(
+        """
+        eval_reader {
+          cap2det_reader {
+            decode_image: false input_pattern: "%s" is_training: false
+            batch_size: 1
+          }
+        }
+        model {
+          [TextModel.ext] {
+            label_extractor { label_file: '%s' }
+            text_classifier {
+              label_file: '%s'
+              open_vocabulary_file: '%s'
+              open_vocabulary_word_embedding_file: '%s'
+              hidden_units: 8
+            }
+          }
+        }
+        train_config { max_steps: 1 learning_rate: 0.1 optimizer { sgd {} } }
+        eval_config { steps: 6 }
+        """
+        % (record, label_file, label_file, vocab_file, emb_file)
+    )
+    model = registry.build(cfg.model, is_training=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    metrics, promote = evaluator_lib.run_evaluation(cfg, params, model=model)
+    assert "metrics/recall_at_0.5" in metrics
+    assert metrics["num_examples"] == 6
+    assert len(promote) == 1

@@ -59,7 +59,8 @@ class TrainState:
         return state, tx, schedule, mask
 
 
-def make_train_step(model, tx, train_config, trainable_mask=None):
+def make_train_step(model, tx, train_config, trainable_mask=None,
+                    pmean_axis=None):
     """Builds the jittable train step fn(state, batch, rng) -> (state, logs).
 
     Frozen leaves (trainable_mask False) are stop_gradient'ed inside the
@@ -67,6 +68,11 @@ def make_train_step(model, tx, train_config, trainable_mask=None):
     reference likewise only differentiates variables_to_train
     (train/trainer.py:141-146); without this, the frozen first-stage
     backbone's backward pass would be computed and thrown away.
+
+    With `pmean_axis` set, the step body is written for shard_map over a
+    data-parallel mesh axis: per-shard gradients (and logged losses) are
+    psum-averaged across the axis before the optimizer update, the SPMD
+    replacement for the reference's parameter-server aggregation.
     """
     ema_decay = (
         train_config.moving_average_decay
@@ -90,6 +96,10 @@ def make_train_step(model, tx, train_config, trainable_mask=None):
         (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            total = jax.lax.pmean(total, pmean_axis)
+            loss_dict = jax.lax.pmean(loss_dict, pmean_axis)
         updates, opt_state = tx.update(grads, state["opt_state"], params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
 
@@ -185,10 +195,31 @@ def train(
         # the collective).
         state = jax.device_put(state, mesh_lib.replicated(mesh))
 
-    train_step = jax.jit(
-        make_train_step(model, tx, train_config, trainable_mask),
-        donate_argnums=0,
-    )
+    if mesh is not None:
+        # Explicit SPMD: shard_map over the data axis; the step body
+        # psum-averages gradients (this also keeps Pallas kernels valid
+        # under multi-chip — each shard runs the kernel on its slice).
+        from jax.sharding import PartitionSpec as P
+
+        step_fn = make_train_step(
+            model, tx, train_config, trainable_mask,
+            pmean_axis=mesh_lib.DATA_AXIS,
+        )
+        train_step = jax.jit(
+            jax.shard_map(
+                step_fn,
+                mesh=mesh,
+                in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+    else:
+        train_step = jax.jit(
+            make_train_step(model, tx, train_config, trainable_mask),
+            donate_argnums=0,
+        )
 
     step = int(state["step"])
     t_start = time.time()

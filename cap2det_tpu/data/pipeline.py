@@ -145,7 +145,6 @@ def fit_image_to_canvas(image, canvas_hw):
 
     ch, cw = canvas_hw
     h, w = image.shape[:2]
-    scale = min(ch / min(h, w) if min(h, w) else 1.0, ch / h, cw / w)
     # Aim: min(new_h,new_w) == canvas short side; cap to fit.
     target = min(ch, cw) / min(h, w)
     scale = min(target, ch / h, cw / w)
@@ -252,7 +251,12 @@ class InputPipeline:
     # -- raw example stream ---------------------------------------------------
 
     def _file_list(self):
-        files = tfrecord.list_files(list(self.options.input_pattern))
+        patterns = self.options.input_pattern
+        if isinstance(patterns, (str, bytes)):
+            # Guard against a bare-string assignment to the repeated field:
+            # list("path") would glob per character and silently match "/".
+            patterns = [patterns]
+        files = tfrecord.list_files(list(patterns))
         if not files:
             raise FileNotFoundError(
                 "no files match %s" % list(self.options.input_pattern)
@@ -281,6 +285,7 @@ class InputPipeline:
             ordered = list(files)
             if is_training:
                 rng.shuffle(ordered)
+            yielded = 0
             for path in ordered:
                 for record in self._read_records(path):
                     example = parse_example(record, self.options.decode_image)
@@ -288,10 +293,17 @@ class InputPipeline:
                         numer, denom = self._shard
                         if _shard_hash(example["image_id"], denom) != numer:
                             continue
+                    yielded += 1
                     yield example
             epoch += 1
             if not is_training:
                 return
+            if yielded == 0:
+                # Spinning epochs over an empty dataset would hang training
+                # silently; fail loudly instead.
+                raise RuntimeError(
+                    "input files %r contain no (unfiltered) examples" % files
+                )
 
     def _shuffled_stream(self):
         """Reservoir-style shuffle buffer (mirrors dataset.shuffle)."""

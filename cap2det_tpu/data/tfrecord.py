@@ -103,5 +103,5 @@ def list_files(patterns):
         matches = glob_lib.glob(pattern)
         if not matches and os.path.exists(pattern):
             matches = [pattern]
-        files.extend(matches)
+        files.extend(m for m in matches if os.path.isfile(m))
     return sorted(files)

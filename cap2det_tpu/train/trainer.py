@@ -82,6 +82,12 @@ def make_train_step(model, tx, train_config, trainable_mask=None,
 
     def train_step(state, batch, rng):
         params = state["params"]
+        if pmean_axis is not None:
+            # Decorrelate per-shard randomness (dropout etc.): every shard
+            # receives the same replicated step rng, so fold the data-axis
+            # index in before any sampling — the SPMD analogue of the
+            # reference's independent per-worker randomness.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(pmean_axis))
 
         def loss_fn(p):
             if trainable_mask is not None:

@@ -270,9 +270,11 @@ def _conv_bn(params, x, stride, compute_dtype):
 def _sep_conv_bn(params, x, stride, compute_dtype):
     dw = params["depthwise_weights"].astype(compute_dtype)
     kh, kw, cin, mult = dw.shape
+    # Grouped-conv output channels are blocked per input channel
+    # (c * mult + m) — TF depthwise ordering; the plain reshape keeps it.
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
-        dw.transpose(0, 1, 3, 2).reshape(kh, kw, 1, cin * mult),
+        dw.reshape(kh, kw, 1, cin * mult),
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

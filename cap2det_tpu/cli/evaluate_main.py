@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--max_eval_examples", type=int, default=None)
     parser.add_argument("--min_eval_steps", type=int, default=0)
     parser.add_argument("--eval_coco_on_voc", action="store_true")
+    parser.add_argument(
+        "--evaluator", default="pascal", choices=["pascal", "coco"],
+        help="Detection metric protocol (reference predict.py:565-576).",
+    )
     parser.add_argument("--run_once", action="store_true",
                         help="Evaluate the latest checkpoint and exit.")
     parser.add_argument(
@@ -53,6 +57,7 @@ def main():
         eval_coco_on_voc=args.eval_coco_on_voc,
         min_eval_steps=args.min_eval_steps,
         max_idle_polls=0 if args.run_once else None,
+        evaluator_kind=args.evaluator,
     )
 
 

@@ -109,14 +109,20 @@ class MultiScalePredictor:
         results = self._jit_post(score_mean, props_true[None])
         out = {k: np.asarray(v)[0] for k, v in results.items()}
         out["image_id"] = example["image_id"]
+        out["image_hw"] = (h, w)
         out["proposal_scores"] = score_mean
         out["num_proposals"] = n_props
         out["proposals"] = props_true
         return out
 
 
-def build_detection_evaluators(model, eval_coco_on_voc=False):
-    """One evaluator per OICR iteration (reference predict.py:565-576)."""
+def build_detection_evaluators(model, eval_coco_on_voc=False,
+                               evaluator_kind="pascal"):
+    """One evaluator per OICR iteration (reference predict.py:565-576).
+
+    ``evaluator_kind`` selects the metric protocol ('pascal' or 'coco'),
+    mirroring the reference's ``--evaluator`` flag.
+    """
     if eval_coco_on_voc:
         from cap2det_tpu.data.synthetic import VOC_CLASSES
 
@@ -129,6 +135,14 @@ def build_detection_evaluators(model, eval_coco_on_voc=False):
             for i, name in enumerate(model.label_extractor.classes)
         ]
     n = 1 + model.options.oicr_iterations
+    if evaluator_kind == "coco":
+        from cap2det_tpu.eval import coco_eval
+
+        return [
+            coco_eval.CocoDetectionEvaluator(categories) for _ in range(n)
+        ], categories
+    if evaluator_kind != "pascal":
+        raise ValueError("unknown evaluator kind %r" % evaluator_kind)
     return [
         voc_eval.PascalDetectionEvaluator(categories) for _ in range(n)
     ], categories
@@ -163,6 +177,7 @@ def run_evaluation(
     max_eval_examples=None,
     eval_coco_on_voc=False,
     visualize_fn=None,
+    evaluator_kind="pascal",
 ):
     """Single evaluation pass. Returns (metrics dict, per-iteration mAP list)."""
     if model is None:
@@ -175,7 +190,9 @@ def run_evaluation(
     reader_cfg = pipeline_config.eval_reader.cap2det_reader
     pipe = pipeline_lib.InputPipeline(reader_cfg, prefetch=0)
     predictor = MultiScalePredictor(model, params, reader_cfg)
-    evaluators, categories = build_detection_evaluators(model, eval_coco_on_voc)
+    evaluators, categories = build_detection_evaluators(
+        model, eval_coco_on_voc, evaluator_kind
+    )
     category_to_id = {c["name"]: c["id"] for c in categories}
 
     count = 0
@@ -192,6 +209,14 @@ def run_evaluation(
         gt_boxes = np.array([b for b, _ in gt_sel], np.float32).reshape(-1, 4)
         gt_classes = np.array([c for _, c in gt_sel], np.int64)
 
+        # COCO metrics split by absolute pixel area; convert from
+        # normalized coordinates (IoU itself is scale-invariant).
+        abs_vec = np.ones(4, np.float32)
+        if evaluator_kind == "coco":
+            ih, iw = result["image_hw"]
+            abs_vec = np.array([ih, iw, ih, iw], np.float32)
+        gt_boxes = gt_boxes * abs_vec
+
         for i, evaluator in enumerate(evaluators):
             suffix = "_at_%d" % i
             n = int(result[DetectionFields.num_detections + suffix])
@@ -202,6 +227,7 @@ def run_evaluation(
                 boxes, scores, classes = voc_eval.convert_coco_result_to_voc(
                     boxes, scores, classes
                 )
+            boxes = np.asarray(boxes, np.float32).reshape(-1, 4) * abs_vec
             evaluator.add_single_ground_truth_image_info(
                 result["image_id"],
                 {
@@ -230,7 +256,10 @@ def run_evaluation(
         res = evaluator.evaluate()
         for k, v in res.items():
             metrics["iter%d/%s" % (i, k)] = v
-        map_key = [k for k in res if k.endswith("mAP@0.5IOU")][0]
+        if evaluator_kind == "coco":
+            map_key = [k for k in res if k.endswith("_Precision/mAP")][0]
+        else:
+            map_key = [k for k in res if k.endswith("mAP@0.5IOU")][0]
         map_per_iter.append(res[map_key])
     metrics["num_examples"] = count
     return metrics, map_per_iter
@@ -250,6 +279,7 @@ def continuous_evaluation(
     poll_interval_secs=10,
     min_eval_steps=0,
     max_idle_polls=None,
+    evaluator_kind="pascal",
 ):
     """Checkpoint-polling evaluation daemon (reference predict.py:578-611)."""
     model_dir = model_dir or pipeline_config.model_dir
@@ -271,7 +301,7 @@ def continuous_evaluation(
         state = manager.restore(step=step)
         manager.close()
         # Evaluate the moving average when present (swapping-saver parity).
-        params = state.get("ema") or state["params"]
+        params = state["ema"] if "ema" in state else state["params"]
 
         report = None
         visualize_fn = None
@@ -290,6 +320,7 @@ def continuous_evaluation(
             max_eval_examples=max_eval_examples,
             eval_coco_on_voc=eval_coco_on_voc,
             visualize_fn=visualize_fn,
+            evaluator_kind=evaluator_kind,
         )
         if report is not None:
             report.write(

@@ -120,3 +120,87 @@ def write_label_file(path, classes=VOC_CLASSES):
     with open(path, "w") as fid:
         fid.write("\n".join(classes))
     return path
+
+
+def make_localizable_example(rng, image_id, classes, image_hw=(96, 128),
+                             num_distractors=10):
+    """One example a detector can actually learn to localize.
+
+    Unlike `make_example` (random boxes over noise), the image carries a
+    class-colored rectangle at the ground-truth location, and the
+    proposal set contains the ground-truth box plus random distractors —
+    the structure WSOD needs (selective-search proposals cover true
+    objects in the reference data). Used by the end-to-end overfit test.
+    """
+    h, w = image_hw
+    cls = int(rng.integers(len(classes)))
+
+    # Distinct, saturated color per class; mid-gray background.
+    palette = np.array(
+        [[220, 40, 40], [40, 220, 40], [40, 40, 220], [220, 220, 40],
+         [220, 40, 220], [40, 220, 220]],
+        np.uint8,
+    )
+    image = np.full((h, w, 3), 128, np.uint8)
+    y0 = rng.uniform(0.05, 0.55)
+    x0 = rng.uniform(0.05, 0.55)
+    y1 = y0 + rng.uniform(0.25, 0.4)
+    x1 = x0 + rng.uniform(0.25, 0.4)
+    gt = np.clip([y0, x0, y1, x1], 0, 1).astype(np.float32)
+    py0, px0, py1, px1 = (gt * [h, w, h, w]).astype(int)
+    image[py0:py1, px0:px1] = palette[cls % len(palette)]
+
+    # Proposals: the gt box first, then off-object distractors.
+    props = [gt]
+    while len(props) < 1 + num_distractors:
+        dy0 = rng.uniform(0, 0.7)
+        dx0 = rng.uniform(0, 0.7)
+        box = np.clip(
+            [dy0, dx0, dy0 + rng.uniform(0.15, 0.3),
+             dx0 + rng.uniform(0.15, 0.3)], 0, 1
+        ).astype(np.float32)
+        # Keep distractors clear of the object (IoU-free negatives).
+        iy = max(0.0, min(box[2], gt[2]) - max(box[0], gt[0]))
+        ix = max(0.0, min(box[3], gt[3]) - max(box[1], gt[1]))
+        if iy * ix > 0.0:
+            continue
+        props.append(box)
+    proposals = np.stack(props)
+
+    cap = list(rng.choice(_FILLER, size=2)) + [classes[cls]]
+    feats = {
+        TFExampleFields.image_id: ("bytes", [image_id.encode()]),
+        TFExampleFields.image_encoded: ("bytes", [encode_jpeg(image)]),
+        TFExampleFields.caption_string: ("bytes", [t.encode() for t in cap]),
+        TFExampleFields.caption_offset: ("int64", [0]),
+        TFExampleFields.caption_length: ("int64", [len(cap)]),
+        TFExampleFields.object_box_ymin: ("float", [gt[0]]),
+        TFExampleFields.object_box_xmin: ("float", [gt[1]]),
+        TFExampleFields.object_box_ymax: ("float", [gt[2]]),
+        TFExampleFields.object_box_xmax: ("float", [gt[3]]),
+        TFExampleFields.object_text: ("bytes", [classes[cls].encode()]),
+        TFExampleFields.object_label: ("int64", [cls + 1]),
+        TFExampleFields.proposal_box_ymin: ("float", proposals[:, 0]),
+        TFExampleFields.proposal_box_xmin: ("float", proposals[:, 1]),
+        TFExampleFields.proposal_box_ymax: ("float", proposals[:, 2]),
+        TFExampleFields.proposal_box_xmax: ("float", proposals[:, 3]),
+    }
+    return feats
+
+
+def write_localizable_dataset(path, num_examples=16, seed=0,
+                              classes=("redthing", "greenthing"),
+                              image_hw=(96, 128), num_distractors=10):
+    rng = np.random.default_rng(seed)
+    classes = list(classes)
+    with tfrecord.TFRecordWriter(path) as w:
+        for i in range(num_examples):
+            feats = make_localizable_example(
+                rng,
+                "localizable-%05d" % i,
+                classes,
+                image_hw=image_hw,
+                num_distractors=num_distractors,
+            )
+            w.write(tf_example.encode_example(feats))
+    return path

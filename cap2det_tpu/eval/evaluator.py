@@ -66,7 +66,9 @@ class MultiScalePredictor:
             }
         )
         self._jit_post = jax.jit(
-            lambda scores, props: model.postprocess(scores, props)
+            lambda scores, props, n: model.postprocess(
+                scores, props, num_proposals=n
+            )
         )
 
     def update_params(self, params):
@@ -106,7 +108,9 @@ class MultiScalePredictor:
                 score_sum = {k: score_sum[k] + scores[k] for k in score_sum}
 
         score_mean = {k: v / len(self._min_dims) for k, v in score_sum.items()}
-        results = self._jit_post(score_mean, props_true[None])
+        results = self._jit_post(
+            score_mean, props_true[None], np.array([n_props], np.int32)
+        )
         out = {k: np.asarray(v)[0] for k, v in results.items()}
         out["image_id"] = example["image_id"]
         out["image_hw"] = (h, w)

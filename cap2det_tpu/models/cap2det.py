@@ -195,16 +195,25 @@ class Cap2DetModel:
 
     # -- postprocess / eval ------------------------------------------------------
 
-    def postprocess(self, score_dict, proposals):
+    def postprocess(self, score_dict, proposals, num_proposals=None):
         """Per-iteration NMS (reference _postprocess:111-150).
 
         Args:
           score_dict: {'..._at_k': [B, P, C or 1+C] arrays} (host or device).
           proposals: [B, P, 4].
+          num_proposals: optional [B] valid-proposal counts. The reference
+            never sees padding here (its batch-1 eval pads to the actual
+            count); we pad to the static max_num_proposals, so padded
+            slots must be masked out of NMS or the zero boxes win.
 
         Returns dict of detections keyed by iteration suffix.
         """
         results = {}
+        valid = None
+        if num_proposals is not None:
+            valid = masked.sequence_mask(
+                num_proposals, maxlen=proposals.shape[1], dtype=jnp.float32
+            )[:, :, None]
         for i in range(1 + self._options.oicr_iterations):
             scores = score_dict[
                 Cap2DetPredictions.oicr_proposal_scores + "_at_%d" % i
@@ -214,6 +223,8 @@ class Cap2DetModel:
             else:
                 post_fn = self._oicr_post
                 scores = jax.nn.softmax(scores, axis=-1)[:, :, 1:]
+            if valid is not None:
+                scores = scores * valid
             num, boxes, det_scores, det_classes = post_fn(proposals, scores)
             suffix = "_at_%d" % i
             results[DetectionFields.num_detections + suffix] = num

@@ -1,0 +1,296 @@
+"""Component-level TPU timing for the Cap2Det train step.
+
+Times each stage of the flagship workload separately (two-run slope
+method — see bench.py for why block_until_ready can't be trusted on the
+axon tunnel) and prints one JSON line per component to stdout plus a
+summary table to stderr. Used to decide where optimization effort goes;
+results are recorded in BENCH_NOTES.md.
+
+Usage:  python tools/bench_components.py [--steps N] [--components a,b,...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 2
+CANVAS_HW = (1024, 1536)
+NUM_PROPOSALS = 500
+NUM_CLASSES = 80
+OICR_ITERATIONS = 3
+CROP = 14
+
+
+def _slope_time(fn, args, n1, n2, sync):
+    """Seconds per call via two-run slope; sync() must materialize."""
+    out = fn(*args)
+    sync(out)  # compile + one execution
+
+    def run(n):
+        t0 = time.time()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        sync(o)
+        return time.time() - t0
+
+    t1 = run(n1)
+    t2 = run(n2)
+    per = (t2 - t1) / (n2 - n1)
+    if per <= 0:
+        per = t2 / n2
+    return per
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--components", default="")
+    parser.add_argument("--proposals", type=int, default=NUM_PROPOSALS)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cap2det_tpu.config import pbtxt, schema
+    from cap2det_tpu.data import synthetic
+    from cap2det_tpu.models import registry, inception_v2, frcnn
+    from cap2det_tpu.train import trainer as trainer_lib
+    import cap2det_tpu.models  # noqa: F401
+    import __graft_entry__ as graft
+    import tempfile
+
+    num_proposals = args.proposals
+    n1, n2 = max(args.steps // 3, 1), args.steps
+    backend = jax.default_backend()
+    print("backend: %s" % backend, file=sys.stderr)
+
+    def sync(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(jax.device_get(leaf)).ravel()[:1]
+        float(jnp.sum(leaf).astype(jnp.float32)) if hasattr(leaf, "dtype") else None
+
+    def sync_scalarize(tree):
+        # Materialize a scalar derived from the output (true sync on axon).
+        leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
+        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves[:1])
+        float(s)
+
+    classes = ["class_%02d" % i for i in range(NUM_CLASSES)]
+    label_file = synthetic.write_label_file(
+        os.path.join(tempfile.mkdtemp(prefix="benchc_"), "labels.txt"), classes
+    )
+    model_cfg = schema.Model.from_dict(
+        pbtxt.parse(graft._MODEL_PBTXT % label_file)["model"]
+    )
+    m = model_cfg.cap2det_model
+    object.__setattr__(m, "oicr_iterations", OICR_ITERATIONS)
+    object.__setattr__(m.frcnn_options, "initial_crop_size", CROP)
+    train_config = schema.Pipeline.from_dict(
+        pbtxt.parse(graft._TRAIN_PBTXT)
+    ).train_config
+    model = registry.build(model_cfg, is_training=True,
+                           compute_dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    state, tx, _, mask = trainer_lib.TrainState.create(model, train_config, rng)
+
+    rs = np.random.RandomState(0)
+    h, w = CANVAS_HW
+    y0 = rs.uniform(0, 0.5, (BATCH, num_proposals))
+    x0 = rs.uniform(0, 0.5, (BATCH, num_proposals))
+    batch = {
+        "image": rs.uniform(0, 255, (BATCH, h, w, 3)).astype(np.float32),
+        "proposals": np.stack(
+            [y0, x0, y0 + rs.uniform(0.1, 0.5, (BATCH, num_proposals)),
+             x0 + rs.uniform(0.1, 0.5, (BATCH, num_proposals))], -1
+        ).astype(np.float32),
+        "num_proposals": np.full((BATCH,), num_proposals, np.int32),
+        "labels": (rs.rand(BATCH, NUM_CLASSES) < 0.05).astype(np.float32),
+    }
+    batch = jax.device_put(batch)
+    step_rng = jax.random.PRNGKey(1)
+
+    params = state["params"]
+    fo = model_cfg.cap2det_model.frcnn_options
+
+    # Precomputed intermediates for isolated stages.
+    fh, fw = h // 16, w // 16
+    feat = jax.device_put(
+        rs.normal(0, 1, (BATCH, fh, fw, 576)).astype(jnp.bfloat16)
+    )
+    pooled_s = CROP // 2
+    rois = jax.device_put(
+        rs.normal(0, 1, (BATCH * num_proposals, pooled_s, pooled_s, 576))
+        .astype(jnp.bfloat16)
+    )
+    prop_feats = jax.device_put(
+        rs.normal(0, 1, (BATCH, num_proposals, 1024)).astype(np.float32)
+    )
+
+    results = {}
+
+    def record(name, seconds, flops=None):
+        results[name] = seconds
+        entry = {"component": name, "ms": round(seconds * 1e3, 3)}
+        if flops:
+            entry["tflops_per_s"] = round(flops / seconds / 1e12, 2)
+        print(json.dumps(entry), flush=True)
+
+    want = set(args.components.split(",")) if args.components else None
+
+    def enabled(name):
+        return want is None or name in want
+
+    # -- full train step ------------------------------------------------
+    if enabled("train_step"):
+        step_fn = jax.jit(
+            trainer_lib.make_train_step(model, tx, train_config, mask)
+        )
+        def run_step(st, b, r):
+            return step_fn(st, b, r)[1]
+        record(
+            "train_step",
+            _slope_time(run_step, (state, batch, step_rng), n1, n2,
+                        sync_scalarize),
+        )
+
+    # -- first stage forward --------------------------------------------
+    if enabled("first_stage"):
+        first = jax.jit(
+            lambda p, im: inception_v2.first_stage(
+                p[frcnn.FIRST_SCOPE], inception_v2.preprocess(im)
+            )
+        )
+        record(
+            "first_stage_fwd",
+            _slope_time(first, (params, batch["image"]), n1, n2,
+                        sync_scalarize),
+        )
+
+    # -- ROI crop+pool: pallas vs XLA ------------------------------------
+    boxes = batch["proposals"]
+    if enabled("roi_pallas") and backend == "tpu":
+        from cap2det_tpu.kernels import roi_pool
+
+        f = jax.jit(
+            lambda ft, bx: roi_pool.roi_crop_maxpool(ft, bx, CROP, 2, 2)
+        )
+        record("roi_pallas_fwd",
+               _slope_time(f, (feat, boxes), n1, n2, sync_scalarize))
+
+        g = jax.jit(
+            jax.grad(
+                lambda ft, bx: jnp.sum(
+                    roi_pool.roi_crop_maxpool(ft, bx, CROP, 2, 2)
+                    .astype(jnp.float32)
+                )
+            )
+        )
+        record("roi_pallas_fwdbwd",
+               _slope_time(g, (feat, boxes), n1, n2, sync_scalarize))
+
+    if enabled("roi_xla"):
+        from cap2det_tpu.ops import roi as roi_ops
+
+        f = jax.jit(
+            lambda ft, bx: roi_ops.crop_resize_maxpool(ft, bx, CROP, 2, 2)
+        )
+        record("roi_xla_fwd",
+               _slope_time(f, (feat, boxes), n1, n2, sync_scalarize))
+        g = jax.jit(
+            jax.grad(
+                lambda ft, bx: jnp.sum(
+                    roi_ops.crop_resize_maxpool(ft, bx, CROP, 2, 2)
+                    .astype(jnp.float32)
+                )
+            )
+        )
+        record("roi_xla_fwdbwd",
+               _slope_time(g, (feat, boxes), n1, n2, sync_scalarize))
+
+    # -- second stage ----------------------------------------------------
+    if enabled("second_stage"):
+        second = jax.jit(
+            lambda p, r: inception_v2.second_stage(
+                p[frcnn.SECOND_SCOPE], r
+            )
+        )
+        record(
+            "second_stage_fwd",
+            _slope_time(second, (params, rois), n1, n2, sync_scalarize),
+        )
+
+        def second_loss(p, r):
+            out = inception_v2.second_stage(p[frcnn.SECOND_SCOPE], r)
+            return jnp.sum(out.astype(jnp.float32))
+
+        gsecond = jax.jit(jax.grad(second_loss))
+        record(
+            "second_stage_fwdbwd",
+            _slope_time(gsecond, (params, rois), n1, n2, sync_scalarize),
+        )
+
+    # -- full feature extraction (first + roi + second) -------------------
+    if enabled("features"):
+        fx = jax.jit(
+            lambda p, im, bx: frcnn.extract_features(
+                p, im, bx, fo, is_training=False
+            )
+        )
+        record(
+            "features_fwd",
+            _slope_time(fx, (params, batch["image"], boxes), n1, n2,
+                        sync_scalarize),
+        )
+
+    # -- heads + losses from proposal features ----------------------------
+    if enabled("heads"):
+        from cap2det_tpu.models import wsod
+        from cap2det_tpu.ops import masked
+        from cap2det_tpu.ops import losses as loss_ops
+
+        def heads_loss(p, pf, labels, proposals, num_proposals):
+            mask = masked.sequence_mask(
+                num_proposals, maxlen=proposals.shape[1], dtype=jnp.float32
+            )
+            class_logits, proposal_scores, proba_r_given_c = wsod.midn_head(
+                p["midn"], pf, mask
+            )
+            total = loss_ops.sigmoid_cross_entropy(labels, class_logits).mean()
+            b, mp = mask.shape
+            scores_0 = jnp.concatenate(
+                [jnp.zeros((b, mp, 1), proba_r_given_c.dtype), proba_r_given_c],
+                axis=-1,
+            )
+            for i in range(OICR_ITERATIONS):
+                scores_1 = wsod.fc(p["oicr"]["iter%d" % (i + 1)], pf)
+                total += 0.5 * wsod.oicr_loss(
+                    labels, proposals, scores_0, scores_1, mask,
+                    iou_threshold=0.6,
+                )
+                scores_0 = jax.nn.softmax(scores_1, axis=-1)
+            return total
+
+        gheads = jax.jit(jax.grad(heads_loss))
+        record(
+            "heads_fwdbwd",
+            _slope_time(
+                gheads,
+                (params, prop_feats, batch["labels"], boxes,
+                 batch["num_proposals"]),
+                n1, n2, sync_scalarize,
+            ),
+        )
+
+    print(json.dumps({"summary": {k: round(v * 1e3, 3)
+                                  for k, v in results.items()}}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

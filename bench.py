@@ -16,6 +16,7 @@ forward+backward of faster_rcnn_inception_v2 at min-dim 1000 plus 500-ROI
 second stage is ~5 s/step on a modern CPU socket => ~0.4 img/s).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -23,7 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_IMAGES_PER_SEC = 0.4
+# Measured floor: this exact train step (f32, identical shapes) on the
+# host CPU backend — `python bench.py --cpu_baseline` reproduces it.
+# See BASELINE.md §throughput for the measurement and the TF-CPU
+# reasoning. The reference publishes no throughput numbers (SURVEY §6).
+BASELINE_MEASURED_CPU_IMAGES_PER_SEC = 0.0326  # measured 2026-08-16
 
 BATCH = 2
 CANVAS_HW = (1024, 1536)
@@ -35,7 +40,20 @@ MEASURE_STEPS = 10
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--cpu_baseline", action="store_true",
+        help="Measure the identical train step on the host CPU backend in "
+             "f32 (the documented baseline floor) instead of the TPU run.",
+    )
+    parser.add_argument("--measure_steps", type=int, default=None)
+    args = parser.parse_args()
+
     import jax
+
+    if args.cpu_baseline:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -64,8 +82,9 @@ def main():
         pbtxt.parse(graft._TRAIN_PBTXT)
     ).train_config
 
+    compute_dtype = jnp.float32 if args.cpu_baseline else jnp.bfloat16
     model = registry.build(model_cfg, is_training=True,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=compute_dtype)
 
     rng = jax.random.PRNGKey(0)
     state, tx, _, mask = trainer_lib.TrainState.create(model, train_config, rng)
@@ -108,20 +127,37 @@ def main():
         _ = float(logs["loss/total_loss"])  # sync
         return time.time() - t0
 
-    n1, n2 = max(MEASURE_STEPS // 3, 1), MEASURE_STEPS
+    measure_steps = args.measure_steps or (
+        2 if args.cpu_baseline else MEASURE_STEPS
+    )
+    n1, n2 = max(measure_steps // 3, 1), measure_steps
     t1 = run(n1)
     t2 = run(n2)
-    per_step = (t2 - t1) / (n2 - n1)
+    per_step = (t2 - t1) / (n2 - n1) if n2 > n1 else t2 / n2
     if per_step <= 0:  # overhead-dominated; fall back to the larger run
         per_step = t2 / n2
     images_per_sec = BATCH / per_step
+    if args.cpu_baseline:
+        print(
+            json.dumps(
+                {
+                    "metric": "cap2det_train_images_per_sec_cpu_f32",
+                    "value": round(images_per_sec, 4),
+                    "unit": "images/sec",
+                    "note": "measured baseline floor; see BASELINE.md",
+                }
+            )
+        )
+        return
     print(
         json.dumps(
             {
                 "metric": "cap2det_train_images_per_sec_per_chip",
                 "value": round(images_per_sec, 4),
                 "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+                "vs_baseline": round(
+                    images_per_sec / BASELINE_MEASURED_CPU_IMAGES_PER_SEC, 2
+                ),
             }
         )
     )

@@ -113,6 +113,17 @@ def parse_example(record, decode_image=True):
     return example
 
 
+def _jpeg_size(data):
+    """Image (height, width) from the JPEG header — no pixel decode."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        w, h = im.size
+    return h, w
+
+
 def decode_jpeg(data):
     import io
 
@@ -174,6 +185,34 @@ def _flip_boxes(boxes):
 
 def _shard_hash(image_id, denom):
     return tfrecord.crc32c(image_id.encode("utf-8")) % denom
+
+
+def _parallel_map(fn, iterable, workers, extra_inflight=2):
+    """Order-preserving parallel map over a (possibly infinite) stream.
+
+    Keeps at most ``workers + extra_inflight`` items in flight —
+    ThreadPoolExecutor.map would consume the whole iterator eagerly,
+    which never terminates on a repeating training stream.
+    """
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(iterable)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = collections.deque()
+        try:
+            for _ in range(workers + extra_inflight):
+                pending.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            it = None
+        while pending:
+            result = pending.popleft().result()
+            if it is not None:
+                try:
+                    pending.append(pool.submit(fn, next(it)))
+                except StopIteration:
+                    it = None
+            yield result
 
 
 def labels_for_examples(extractor, examples):
@@ -374,59 +413,58 @@ class InputPipeline:
             )
         return batch
 
-    def _assemble_image_batch(self, examples, scale, rng):
+    def _prep_example(self, task):
+        """Heavy per-example work: decode, photometric, flip, canvas fit,
+        box renormalization. All randomness was pre-drawn in the serial
+        pre-stage (task fields), so this runs on the parallel-map threads
+        with deterministic output regardless of thread timing."""
+        ex, (ch, cw) = task["ex"], task["canvas_hw"]
+        opt = self.options
+        image = decode_jpeg(ex["image_encoded"])
+        if task["photo_seed"] is not None:
+            from cap2det_tpu.data import augment
+
+            image = augment.apply_photometric(
+                image, opt.preprocess_options, random.Random(task["photo_seed"])
+            )
+        flip = task["flip"]
+        if flip:
+            image = image[:, ::-1]
+        canvas, (new_h, new_w) = fit_image_to_canvas(image, (ch, cw))
+
+        props = ex["proposals"][: opt.max_num_proposals]
+        obj = ex["object_boxes"]
+        if flip:
+            props = _flip_boxes(props)
+            obj = _flip_boxes(obj)
+        # Renormalize from true image extent to canvas extent
+        # (reference _batch_scale_box_fn semantics).
+        fy, fx = new_h / ch, new_w / cw
+        scale_vec = np.array([fy, fx, fy, fx], np.float32)
+        ex["_canvas"] = canvas
+        ex["_new_hw"] = (new_h, new_w)
+        ex["_props_canvas"] = props * scale_vec
+        ex["_obj_canvas"] = obj * scale_vec if len(obj) else obj
+        return ex
+
+    def _stack_image_batch(self, examples):
+        """Stacks prepped examples into the padded device batch."""
         opt = self.options
         batch = self._assemble_text_batch(examples)
-
-        if self._fixed_hw is not None:
-            ch, cw = (
-                _round_up(self._fixed_hw[0] * scale, self.canvas_multiple),
-                _round_up(self._fixed_hw[1] * scale, self.canvas_multiple),
-            )
-        else:
-            short, long = compute_canvas(
-                self._min_dimension, scale, self.aspect_cap, self.canvas_multiple
-            )
-            landscape = examples[0]["_landscape"]
-            ch, cw = (short, long) if landscape else (long, short)
-
+        ch, cw = examples[0]["_canvas"].shape[:2]
         images = np.zeros((len(examples), ch, cw, 3), np.float32)
         image_shapes = np.zeros((len(examples), 3), np.int32)
         proposals = np.zeros((len(examples), opt.max_num_proposals, 4), np.float32)
         num_proposals = np.zeros((len(examples),), np.int32)
         object_boxes = []
-
-        flip_prob = 0.0
-        if opt.preprocess_options is not None:
-            flip_prob = opt.preprocess_options.random_flip_left_right_prob
-
         for i, ex in enumerate(examples):
-            image = ex["_decoded_image"]
-            if opt.is_training and opt.preprocess_options is not None:
-                from cap2det_tpu.data import augment
-
-                image = augment.apply_photometric(
-                    image, opt.preprocess_options, rng
-                )
-            flip = opt.is_training and rng.random() < flip_prob
-            if flip:
-                image = image[:, ::-1]
-            canvas, (new_h, new_w) = fit_image_to_canvas(image, (ch, cw))
-            images[i] = canvas
+            images[i] = ex["_canvas"]
+            new_h, new_w = ex["_new_hw"]
             image_shapes[i] = (new_h, new_w, 3)
-
-            props = ex["proposals"][: opt.max_num_proposals]
-            obj = ex["object_boxes"]
-            if flip:
-                props = _flip_boxes(props)
-                obj = _flip_boxes(obj)
-            # Renormalize from true image extent to canvas extent
-            # (reference _batch_scale_box_fn semantics).
-            fy, fx = new_h / ch, new_w / cw
-            scale_vec = np.array([fy, fx, fy, fx], np.float32)
-            proposals[i, : len(props)] = props * scale_vec
+            props = ex["_props_canvas"]
+            proposals[i, : len(props)] = props
             num_proposals[i] = len(props)
-            object_boxes.append(obj * scale_vec if len(obj) else obj)
+            object_boxes.append(ex["_obj_canvas"])
 
         batch.update(
             {
@@ -461,26 +499,84 @@ class InputPipeline:
                 yield self._assemble_text_batch(pending)
             return
 
+        # Serial pre-stage: read JPEG dims (header only — no pixel decode),
+        # assign bucket / per-batch scale / flip / photometric seeds in
+        # stream order so all randomness is deterministic under `seed`,
+        # then fan the heavy decode+augment+fit out to
+        # `map_num_parallel_calls` threads (order-preserving).
+        flip_prob = 0.0
+        if opt.is_training and opt.preprocess_options is not None:
+            flip_prob = opt.preprocess_options.random_flip_left_right_prob
+        photometric = opt.is_training and opt.preprocess_options is not None
+        bucket_counts = {}
+        bucket_scale = {}
+
+        def tasks():
+            for ex in self._shuffled_stream():
+                if ex.get("image_encoded") is None:
+                    continue
+                h, w = _jpeg_size(ex["image_encoded"])
+                landscape = w >= h
+                ex["_landscape"] = landscape
+                key = (
+                    landscape
+                    if (self.bucket_by_orientation and self._fixed_hw is None)
+                    else True
+                )
+                idx = bucket_counts.get(key, 0)
+                bucket_counts[key] = idx + 1
+                if idx % batch_size == 0:
+                    # Batch-level decisions, fixed by the batch's first
+                    # example (matches the previous assembler semantics).
+                    bucket_scale[key] = (
+                        (rng.choice(self._scales) if opt.is_training else 1.0),
+                        landscape,
+                    )
+                scale, batch_landscape = bucket_scale[key]
+                if self._fixed_hw is not None:
+                    ch = _round_up(self._fixed_hw[0] * scale, self.canvas_multiple)
+                    cw = _round_up(self._fixed_hw[1] * scale, self.canvas_multiple)
+                else:
+                    short, long = compute_canvas(
+                        self._min_dimension, scale, self.aspect_cap,
+                        self.canvas_multiple,
+                    )
+                    ch, cw = (
+                        (short, long) if batch_landscape else (long, short)
+                    )
+                yield {
+                    "ex": ex,
+                    "key": key,
+                    "canvas_hw": (ch, cw),
+                    "flip": opt.is_training and rng.random() < flip_prob,
+                    "photo_seed": rng.getrandbits(64) if photometric else None,
+                }
+
+        # Cap at the host's core count: with fewer cores than workers the
+        # GIL/bandwidth contention makes threads a strict loss (this
+        # sandbox has 1 core; real v5e hosts have many).
+        import os as _os
+
+        workers = max(1, min(opt.map_num_parallel_calls,
+                             _os.cpu_count() or 1))
+        if workers > 1:
+            prepped = _parallel_map(
+                lambda t: (t["key"], self._prep_example(t)), tasks(), workers
+            )
+        else:
+            prepped = ((t["key"], self._prep_example(t)) for t in tasks())
+
         buckets = {}
-        for ex in self._shuffled_stream():
-            if ex.get("image_encoded") is None:
-                continue
-            image = decode_jpeg(ex["image_encoded"])
-            ex["_decoded_image"] = image
-            h, w = image.shape[:2]
-            landscape = w >= h
-            ex["_landscape"] = landscape
-            key = landscape if (self.bucket_by_orientation and self._fixed_hw is None) else True
+        for key, ex in prepped:
             buckets.setdefault(key, []).append(ex)
             if len(buckets[key]) == batch_size:
-                scale = rng.choice(self._scales) if opt.is_training else 1.0
-                yield self._assemble_image_batch(buckets[key], scale, rng)
+                yield self._stack_image_batch(buckets[key])
                 buckets[key] = []
         # Eval drains remaining full groups only (drop_remainder=True parity).
         if not opt.is_training:
             for key, pending in buckets.items():
                 while len(pending) >= batch_size:
-                    yield self._assemble_image_batch(pending[:batch_size], 1.0, rng)
+                    yield self._stack_image_batch(pending[:batch_size])
                     pending = pending[batch_size:]
 
     def _prefetched(self, gen):

@@ -91,8 +91,46 @@ def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
     out_ref[0, 0, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(out_ref.dtype)
 
 
+def _interp_matrix(start, end, crop_size, extent):
+    """Dense [crop_size, extent] bilinear interpolation matrix.
+
+    Row i holds the two-tap lerp weights of `_sample_coords` at positions
+    idx[i] and idx[i]+1 — crop = W_y @ F @ W_x^T. Built with pure vector
+    ops (iota + compares): no scalar reads of vectors, no dynamic slices.
+    """
+    h_max = extent - 1
+    i = jax.lax.broadcasted_iota(jnp.int32, (crop_size, extent), 0).astype(
+        jnp.float32
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (crop_size, extent), 1).astype(
+        jnp.float32
+    )
+    if crop_size > 1:
+        coords = start * h_max + i * (end - start) * h_max / (crop_size - 1)
+    else:
+        coords = (start + end) * 0.5 * h_max + i * 0.0
+    inside = ((coords >= 0.0) & (coords <= h_max)).astype(jnp.float32)
+    idx = jnp.clip(jnp.floor(coords), 0, extent - 2)
+    frac = (coords - idx) * inside
+    return inside * (
+        (1.0 - frac) * (pos == idx).astype(jnp.float32)
+        + frac * (pos == idx + 1).astype(jnp.float32)
+    )
+
+
 def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
-                dtmp_ref, *, crop_size, pool_kernel, pool_stride):
+                *, crop_size, pool_kernel, pool_stride):
+    """Backward: interp-matrix matmul for the x-scatter, sparse rows for dF.
+
+    The x-direction bilinear scatter is one small matmul landing directly
+    in dtmp's [W, S, CB] layout with no transposes:
+      dtmp[w, sy, c] = sum_j Wx[j, w] * dcrop[sy, j, c]
+                     = dot_general(Wx, dcrop; contract Wx.0 with dcrop.1)
+    which replaces a full dtmp zero + 14 dynamic-slice accumulations. The
+    y-direction stays a sparse 2-row scatter: a dense Wy^T matmul would
+    read-modify-write the whole [H, W, CB] dfeat block per proposal
+    (measured no faster than the original all-scatter kernel).
+    """
     height, width, cb = feat_ref.shape[1:]
     p = pl.program_id(2)
 
@@ -130,24 +168,21 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
     )
     dcrop = dwindows.reshape(crop_size, crop_size, cb)
 
-    # dtmp: scatter dcrop columns back through the x-lerp.
-    dtmp_ref[...] = jnp.zeros_like(dtmp_ref)
+    wx = _interp_matrix(x1, x2, crop_size, width)  # [S, W]
 
-    for j in range(crop_size):
-        w = x_in[j]
-        contrib = jnp.stack(
-            [
-                dcrop[:, j, :] * ((1.0 - x_frac[j]) * w),
-                dcrop[:, j, :] * (x_frac[j] * w),
-            ],
-            axis=0,
-        )  # [2, S, CB]
-        dtmp_ref[pl.ds(x_idx[j], 2), :, :] += contrib
+    dtmp = jax.lax.dot_general(
+        wx, dcrop,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [W, S, CB]
 
-    # dF: scatter dtmp rows back through the y-lerp.
+    # dF: scatter dtmp rows back through the y-lerp. Sparse 2-row updates
+    # beat a dense Wy^T matmul here: the latter read-modify-writes the
+    # whole [H, W, CB] dfeat block per proposal (measured no faster than
+    # the original all-scatter kernel).
     for i in range(crop_size):
         w = y_in[i]
-        row = dtmp_ref[:, i, :]  # [W, CB]
+        row = dtmp[:, i, :]  # [W, CB]
         contrib = jnp.stack(
             [row * ((1.0 - y_frac[i]) * w), row * (y_frac[i] * w)], axis=0
         )  # [2, W, CB]
@@ -238,7 +273,6 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
         ),
         scratch_shapes=[
             pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
-            pltpu.VMEM((width, crop_size, cb), jnp.float32),
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,

@@ -296,14 +296,14 @@ def _same_pads(size, kernel, stride):
     return out, pad_total // 2, pad_total - pad_total // 2
 
 
-def _pool(x, kind, kernel, stride):
+def _pool_slices(x, kind, kernel, stride):
     """SAME-padded pooling via shifted strided slices.
 
-    Expressed as elementwise max/sum over k*k shifted views instead of
-    lax.reduce_window: differentiable everywhere (reduce_window lacks a
-    linearization rule under jit on this platform) and fuses into
-    neighboring elementwise ops. TF avg-pool SAME semantics: padding
-    excluded from the divisor.
+    Differentiable everywhere — used as the custom backward for `_pool`
+    (lax.reduce_window lacks a linearization rule under jit on this
+    platform, and the slice formulation's forward is 4-10x slower than
+    reduce_window at stem shapes, tools/bench_backbone_parts.py). TF
+    avg-pool SAME semantics: padding excluded from the divisor.
     """
     b, h, w, c = x.shape
     out_h, pad_t, pad_b = _same_pads(h, kernel, stride)
@@ -347,6 +347,52 @@ def _pool(x, kind, kernel, stride):
             )
             counts = view if counts is None else counts + view
     return acc / counts
+
+
+def _pool_fast(x, kind, kernel, stride):
+    """SAME-padded pooling via lax.reduce_window (fast TPU forward)."""
+    dims = (1, kernel, kernel, 1)
+    strides = (1, stride, stride, 1)
+    if kind == "pool_max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, dims, strides, "SAME"
+        )
+    sums = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, dims, strides, "SAME"
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None],
+        0.0, jax.lax.add, dims, strides, "SAME",
+    )
+    return sums / counts
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pool_p(x, kind, kernel, stride):
+    return _pool_fast(x, kind, kernel, stride)
+
+
+def _pool_p_fwd(x, kind, kernel, stride):
+    return _pool_p(x, kind, kernel, stride), x
+
+
+def _pool_p_bwd(kind, kernel, stride, x, g):
+    _, vjp = jax.vjp(lambda x: _pool_slices(x, kind, kernel, stride), x)
+    return (vjp(g)[0],)
+
+
+_pool_p.defvjp(_pool_p_fwd, _pool_p_bwd)
+
+
+def _pool(x, kind, kernel, stride):
+    """SAME-padded pool: reduce_window forward, slice-formulation backward
+    (reduce_window has no linearization rule on this platform; the frozen
+    first stage never differentiates its pools, so backward only runs for
+    the small second-stage maxpools)."""
+    return _pool_p(x, kind, kernel, stride)
 
 
 def _block(params, spec, x, compute_dtype):

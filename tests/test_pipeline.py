@@ -157,3 +157,47 @@ def test_flip_consistency(dataset):
     # before canvas renormalization.
     np.testing.assert_allclose(pf[:, 1], fx - pn[:, 3], atol=1e-5)
     np.testing.assert_allclose(pf[:, 0], pn[:, 0], atol=1e-6)
+
+
+def test_parallel_decode_matches_serial(dataset, monkeypatch):
+    """map_num_parallel_calls > 1 must preserve order and content."""
+    record, _ = dataset
+    # The worker count is capped at cpu_count (1 in this sandbox); lift it
+    # so the parallel path genuinely executes.
+    import os
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+
+    def batches(workers, n=4):
+        cfg = _reader(record, map_num_parallel_calls=workers)
+        pipe = pipeline.InputPipeline(cfg, seed=5, prefetch=0)
+        out = []
+        it = iter(pipe)
+        for _ in range(n):
+            out.append(next(it))
+        return out
+
+    serial = batches(1)
+    parallel = batches(6)
+    for b1, b2 in zip(serial, parallel):
+        assert list(b1[InputFields.image_id]) == list(b2[InputFields.image_id])
+        np.testing.assert_array_equal(b1[InputFields.image], b2[InputFields.image])
+        np.testing.assert_array_equal(
+            b1[InputFields.proposals], b2[InputFields.proposals]
+        )
+
+
+def test_parallel_map_bounded_on_infinite_stream():
+    import itertools
+
+    seen = []
+
+    def fn(x):
+        seen.append(x)
+        return x * 2
+
+    gen = pipeline._parallel_map(fn, itertools.count(), workers=3)
+    out = [next(gen) for _ in range(10)]
+    assert out == [i * 2 for i in range(10)]
+    # Bounded in-flight: far fewer consumed than an eager map would.
+    assert len(seen) <= 10 + 3 + 2 + 1

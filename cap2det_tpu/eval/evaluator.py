@@ -200,6 +200,7 @@ def run_evaluation(
     category_to_id = {c["name"]: c["id"] for c in categories}
 
     count = 0
+    total_gt = 0
     for example in pipe.example_stream():
         if example.get("image_encoded") is None:
             continue
@@ -212,6 +213,7 @@ def run_evaluation(
         ]
         gt_boxes = np.array([b for b, _ in gt_sel], np.float32).reshape(-1, 4)
         gt_classes = np.array([c for _, c in gt_sel], np.int64)
+        total_gt += len(gt_sel)
 
         # COCO metrics split by absolute pixel area; convert from
         # normalized coordinates (IoU itself is scale-invariant).
@@ -254,6 +256,12 @@ def run_evaluation(
         if max_eval_examples and count >= max_eval_examples:
             break
 
+    if count and not total_gt:
+        log.warning(
+            "evaluated %d examples but matched ZERO ground-truth texts to "
+            "the label map — mAP will be NaN; check that object_text values "
+            "match the label file's class names", count,
+        )
     metrics = {}
     map_per_iter = []
     for i, evaluator in enumerate(evaluators):

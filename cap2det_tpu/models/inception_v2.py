@@ -270,6 +270,25 @@ def _conv_bn(params, x, stride, compute_dtype):
 def _sep_conv_bn(params, x, stride, compute_dtype):
     dw = params["depthwise_weights"].astype(compute_dtype)
     kh, kw, cin, mult = dw.shape
+    pw = params["pointwise_weights"].astype(compute_dtype)
+    cout = pw.shape[-1]
+    if cin <= 8:
+        # Stem case (cin=3): compose depthwise o pointwise into one dense
+        # conv — mathematically exact since the pointwise is 1x1:
+        # W[u,v,c,o] = sum_m dw[u,v,c,m] * pw[c*mult+m, o]. A grouped conv
+        # over 3 single-channel groups is MXU-hostile; the dense form runs
+        # as one well-shaped matmul (trace-time compose, 9k params).
+        w_dense = jnp.einsum(
+            "uvcm,cmo->uvco", dw, pw.reshape(cin, mult, cout)
+        )
+        out = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            w_dense,
+            window_strides=(stride, stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _bn_relu(out, params["BatchNorm"])
     # Grouped-conv output channels are blocked per input channel
     # (c * mult + m) — TF depthwise ordering; the plain reshape keeps it.
     out = jax.lax.conv_general_dilated(
@@ -396,11 +415,49 @@ def _pool(x, kind, kernel, stride):
 
 
 def _block(params, spec, x, compute_dtype):
+    """Inception block with the leading 1x1 convs of all branches merged
+    into one conv (they share the input, so concatenating their output
+    channels is numerically exact) — fewer, fatter MXU matmuls instead of
+    several thin ones with lane-padding waste."""
+    mergeable = [
+        b for b, branch in enumerate(spec)
+        if branch[0][1] == 1 and branch[0][3] == 1
+        and not branch[0][0].startswith("pool_")
+    ]
+    merged_out = {}
+    if len(mergeable) >= 2:
+        weights, betas, means, variances, couts = [], [], [], [], []
+        for b in mergeable:
+            name = spec[b][0][0]
+            p = params["Branch_%d" % b][name]
+            weights.append(p["weights"])
+            betas.append(p["BatchNorm"]["beta"])
+            means.append(p["BatchNorm"]["moving_mean"])
+            variances.append(p["BatchNorm"]["moving_variance"])
+            couts.append(p["weights"].shape[-1])
+        fused = _bn_relu(
+            _conv(x, jnp.concatenate(weights, axis=-1), 1, compute_dtype),
+            {
+                "beta": jnp.concatenate(betas),
+                "moving_mean": jnp.concatenate(means),
+                "moving_variance": jnp.concatenate(variances),
+            },
+        )
+        offset = 0
+        for b, cout in zip(mergeable, couts):
+            merged_out[b] = fused[..., offset:offset + cout]
+            offset += cout
+
     outputs = []
     for b, branch in enumerate(spec):
-        h = x
         bp = params["Branch_%d" % b]
-        for name, k, cout, stride in branch:
+        if b in merged_out:
+            h = merged_out[b]
+            rest = branch[1:]
+        else:
+            h = x
+            rest = branch
+        for name, k, cout, stride in rest:
             if name.startswith("pool_"):
                 h = _pool(h, name, k, stride)
             else:

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Offline Flickr30k dataset build (reference
+# download_and_preprocess_flickr30k.sh): selective-search proposals,
+# one trainval TFRecord set from the caption TSV, and the vocabulary /
+# embedding matrix. Expects flickr30k_images/ and results_20130124.token
+# (caption TSV) plus glove.6B.300d.txt under $1.
+set -euo pipefail
+DATA_DIR="${1:?usage: build_flickr30k_dataset.sh <flickr30k-dir> <output-dir> [num_procs]}"
+OUT="${2:?output dir}"
+NPROC="${3:-10}"
+mkdir -p "${OUT}/ss_npy" "${OUT}/records"
+
+for ((i=0; i<NPROC; i++)); do
+  python tools/create_selective_search_data.py \
+    --image_dir "${DATA_DIR}/flickr30k_images" \
+    --output_dir "${OUT}/ss_npy" \
+    --process_indicator "${i}/${NPROC}" &
+done
+wait
+
+python tools/create_flickr30k_tf_record.py \
+  --image_source "${DATA_DIR}/flickr30k_images" \
+  --annotation_path "${DATA_DIR}/results_20130124.token" \
+  --proposal_data_path "${OUT}/ss_npy" \
+  --output_path "${OUT}/records/flickr30k_trainval.record" --num_shards 20
+
+python tools/create_vocab.py \
+  --caption_tsv_file "${DATA_DIR}/results_20130124.token" \
+  --glove_file "${DATA_DIR}/glove.6B.300d.txt" \
+  --output_vocabulary_file data/flickr30k_open_vocab.txt \
+  --output_vocabulary_word_embedding_file data/flickr30k_open_vocab_300d.npy \
+  --min_word_freq 10

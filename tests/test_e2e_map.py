@@ -39,6 +39,7 @@ train_reader {
     shuffle_buffer_size: 16
     batch_size: 8
     image_resizer { keep_aspect_ratio_resizer { min_dimension: 96 } }
+    preprocess_options { random_flip_left_right_prob: 0.5 }
     max_num_proposals: 8
     batch_resize_scale_value: 1.0
   }

@@ -10,17 +10,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference (TF 1.x) publishes no throughput numbers
-(SURVEY.md §6). BASELINE_IMAGES_PER_SEC below is our documented estimate
-of the TF-CPU reference throughput for this exact workload (batch-2
-forward+backward of faster_rcnn_inception_v2 at min-dim 1000 plus 500-ROI
-second stage is ~5 s/step on a modern CPU socket => ~0.4 img/s).
+(SURVEY.md §6), so vs_baseline divides by a MEASURED floor — the
+identical train step on this host's CPU backend in f32
+(`python bench.py --cpu_baseline`); derivation in BASELINE.md.
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -108,34 +106,33 @@ def main():
     batch = jax.device_put(batch)
     step_rng = jax.random.PRNGKey(1)
 
-    # NOTE on timing methodology: on the axon-tunneled TPU,
-    # block_until_ready() returns before remote execution finishes; only a
-    # host materialization truly synchronizes (and the first one includes
-    # the remote compile). We therefore (a) force a float() after warmup,
-    # and (b) measure two runs of different step counts and use the slope,
-    # which cancels the constant dispatch+transfer overhead.
+    # Timing methodology (shared with the component benches): see
+    # tools/benchlib.py — host-materialized sync + two-run slope, the
+    # only trustworthy recipe on the axon-tunneled TPU.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from benchlib import slope_time
+
     for _ in range(WARMUP_STEPS):
         state, logs = train_step(state, batch, step_rng)
     warm_loss = float(logs["loss/total_loss"])  # forces compile + execution
     assert np.isfinite(warm_loss), warm_loss
 
-    def run(n):
-        nonlocal state
-        t0 = time.time()
-        for _ in range(n):
-            state, logs = train_step(state, batch, step_rng)
-        _ = float(logs["loss/total_loss"])  # sync
-        return time.time() - t0
+    state_box = {"state": state}
+
+    def one_step():
+        state_box["state"], logs = train_step(
+            state_box["state"], batch, step_rng
+        )
+        return logs
 
     measure_steps = args.measure_steps or (
         2 if args.cpu_baseline else MEASURE_STEPS
     )
-    n1, n2 = max(measure_steps // 3, 1), measure_steps
-    t1 = run(n1)
-    t2 = run(n2)
-    per_step = (t2 - t1) / (n2 - n1) if n2 > n1 else t2 / n2
-    if per_step <= 0:  # overhead-dominated; fall back to the larger run
-        per_step = t2 / n2
+    per_step = slope_time(
+        one_step, (), steps=measure_steps,
+        sync=lambda logs: float(logs["loss/total_loss"]),
+    )
     images_per_sec = BATCH / per_step
     if args.cpu_baseline:
         print(

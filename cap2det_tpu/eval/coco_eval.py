@@ -46,29 +46,23 @@ def _box_areas(boxes):
     )
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_det):
-    """Per-image, per-class matching for every IoU threshold at once.
+def _match_cached(iou, gt_ignore):
+    """Per-image, per-class greedy matching for every IoU threshold.
 
-    Returns (det_matched [T, D], det_ignore [T, D], scores [D]) for the
-    top-`max_det` detections, plus the number of non-ignored gts.
+    `iou` is the precomputed [D, G] matrix in score-descending det order;
+    gts are re-sorted non-ignored-first per pycocotools. Returns
+    (det_matched [T, D], det_ignore [T, D]).
     """
-    order = np.argsort(-det_scores, kind="stable")[:max_det]
-    det_boxes = det_boxes[order]
-    scores = det_scores[order]
     nth = len(IOU_THRESHOLDS)
-    nd, ng = len(det_boxes), len(gt_boxes)
+    nd, ng = iou.shape
     matched = np.zeros((nth, nd), bool)
     ignored = np.zeros((nth, nd), bool)
-    if nd == 0:
-        return matched, ignored, scores
-    if ng == 0:
-        return matched, ignored, scores
+    if nd == 0 or ng == 0:
+        return matched, ignored
 
-    # Evaluate non-ignored gts first (pycocotools sorts gts by ignore flag).
     gt_order = np.argsort(gt_ignore, kind="stable")
-    gt_boxes = gt_boxes[gt_order]
+    iou = iou[:, gt_order]
     gt_ignore = gt_ignore[gt_order]
-    iou = _iou_matrix(det_boxes, gt_boxes)
 
     for ti, thr in enumerate(IOU_THRESHOLDS):
         taken = np.zeros(ng, bool)
@@ -87,7 +81,7 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_det):
                 taken[best] = True
                 matched[ti, d] = True
                 ignored[ti, d] = gt_ignore[best]
-    return matched, ignored, scores
+    return matched, ignored
 
 
 class CocoDetectionEvaluator:
@@ -121,58 +115,82 @@ class CocoDetectionEvaluator:
             per_class[int(cid)] = (boxes[sel], scores[sel])
         self._det[image_id] = per_class
 
-    def _accumulate_class(self, cid, area_range, max_det):
-        """Returns (precision [T, R], recall [T]) or None if no gt."""
-        lo, hi = AREA_RANGES[area_range]
-        image_ids = sorted(set(self._gt) | set(self._det), key=str)
-        all_scores, all_matched, all_ignored = [], [], []
-        num_gt = 0
-        for image_id in image_ids:
+    def _class_cache(self, cid):
+        """Per-(image, class) detections/gt with the IoU matrix computed
+        ONCE — shared across all 4 area ranges and every maxDet (the
+        score order never changes, and the top-k matching for AR@k is
+        exactly the first-k columns of the maxDet-100 matching: greedy
+        matches of earlier detections are unaffected by later ones)."""
+        cache = []
+        for image_id in sorted(set(self._gt) | set(self._det), key=str):
             gt_boxes = self._gt.get(image_id, {}).get(cid)
-            gt_boxes = (
-                np.zeros((0, 4)) if gt_boxes is None else gt_boxes
+            det = self._det.get(image_id, {}).get(cid)
+            if gt_boxes is None and det is None:
+                continue
+            gt_boxes = np.zeros((0, 4)) if gt_boxes is None else gt_boxes
+            det_boxes, det_scores = det if det is not None else (
+                np.zeros((0, 4)), np.zeros(0)
             )
-            det_boxes, det_scores = self._det.get(image_id, {}).get(
-                cid, (np.zeros((0, 4)), np.zeros(0))
-            )
-            gt_area = _box_areas(gt_boxes)
-            gt_ignore = (gt_area < lo) | (gt_area > hi)
-            num_gt += int((~gt_ignore).sum())
-            matched, ignored, scores = _match_image(
-                det_boxes, det_scores, gt_boxes, gt_ignore, max_det
-            )
-            # Unmatched detections with out-of-range area are ignored too.
-            order = np.argsort(-det_scores, kind="stable")[:max_det]
-            det_area = _box_areas(det_boxes[order])
-            out_of_range = (det_area < lo) | (det_area > hi)
-            ignored = ignored | (~matched & out_of_range[None, :])
-            all_scores.append(scores)
-            all_matched.append(matched)
-            all_ignored.append(ignored)
+            order = np.argsort(-det_scores, kind="stable")[:max(MAX_DETS)]
+            det_boxes = det_boxes[order]
+            cache.append({
+                "gt_boxes": gt_boxes,
+                "gt_area": _box_areas(gt_boxes),
+                "scores": det_scores[order],
+                "det_area": _box_areas(det_boxes),
+                "iou": _iou_matrix(det_boxes, gt_boxes),
+            })
+        return cache
 
+    @staticmethod
+    def _accumulate_range(cache, area_range):
+        """One matching pass over the class cache for an area range.
+
+        Returns (per-image scores/matched/ignored lists, num_gt) or None
+        if the range has no ground truth.
+        """
+        lo, hi = AREA_RANGES[area_range]
+        scores_l, matched_l, ignored_l = [], [], []
+        num_gt = 0
+        for e in cache:
+            gt_ignore = (e["gt_area"] < lo) | (e["gt_area"] > hi)
+            num_gt += int((~gt_ignore).sum())
+            matched, ignored = _match_cached(e["iou"], gt_ignore)
+            out_of_range = (e["det_area"] < lo) | (e["det_area"] > hi)
+            ignored = ignored | (~matched & out_of_range[None, :])
+            scores_l.append(e["scores"])
+            matched_l.append(matched)
+            ignored_l.append(ignored)
         if num_gt == 0:
             return None
-        scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+        return scores_l, matched_l, ignored_l, num_gt
+
+    @staticmethod
+    def _pr_curves(scores_l, matched_l, ignored_l, num_gt, max_det):
+        """(precision [T, R], recall [T]) from per-image match results,
+        truncated to the top-`max_det` detections per image."""
+        nth = len(IOU_THRESHOLDS)
+        scores = (
+            np.concatenate([s[:max_det] for s in scores_l])
+            if scores_l else np.zeros(0)
+        )
         matched = (
-            np.concatenate(all_matched, axis=1)
-            if all_matched
-            else np.zeros((len(IOU_THRESHOLDS), 0), bool)
+            np.concatenate([m[:, :max_det] for m in matched_l], axis=1)
+            if matched_l else np.zeros((nth, 0), bool)
         )
         ignored = (
-            np.concatenate(all_ignored, axis=1)
-            if all_ignored
-            else np.zeros((len(IOU_THRESHOLDS), 0), bool)
+            np.concatenate([i[:, :max_det] for i in ignored_l], axis=1)
+            if ignored_l else np.zeros((nth, 0), bool)
         )
         order = np.argsort(-scores, kind="stable")
         matched = matched[:, order]
         ignored = ignored[:, order]
 
-        nth = len(IOU_THRESHOLDS)
         precision = np.zeros((nth, len(RECALL_THRESHOLDS)))
         recall = np.zeros(nth)
         for ti in range(nth):
             keep = ~ignored[ti]
-            tp = np.cumsum(matched[ti][keep] & ~ignored[ti][keep])
+            tp = np.cumsum(matched[ti][keep])
             fp = np.cumsum(~matched[ti][keep])
             rc = tp / num_gt
             pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
@@ -188,29 +206,32 @@ class CocoDetectionEvaluator:
 
     def evaluate(self):
         """Returns {metric_name: value} (od CocoDetectionEvaluator names)."""
-        # AP splits at maxDet=100; AR at each maxDet.
         ap_acc = {rng: [] for rng in AREA_RANGES}
         ap50, ap75 = [], []
         ar_acc = {k: [] for k in MAX_DETS}
         ar_area = {rng: [] for rng in ("small", "medium", "large")}
         for cat in self._categories:
-            cid = cat["id"]
+            cache = self._class_cache(cat["id"])
             for rng in AREA_RANGES:
-                out = self._accumulate_class(cid, rng, 100)
+                out = self._accumulate_range(cache, rng)
                 if out is None:
                     continue
-                precision, recall = out
+                scores_l, matched_l, ignored_l, num_gt = out
+                precision, recall = self._pr_curves(
+                    scores_l, matched_l, ignored_l, num_gt, 100
+                )
                 ap_acc[rng].append(precision.mean())
                 if rng == "all":
                     ap50.append(precision[0].mean())
                     ap75.append(precision[5].mean())
                     ar_acc[100].append(recall.mean())
+                    for k in (1, 10):
+                        _, rk = self._pr_curves(
+                            scores_l, matched_l, ignored_l, num_gt, k
+                        )
+                        ar_acc[k].append(rk.mean())
                 else:
                     ar_area[rng].append(recall.mean())
-            for k in (1, 10):
-                out = self._accumulate_class(cid, "all", k)
-                if out is not None:
-                    ar_acc[k].append(out[1].mean())
 
         def mean(vals):
             return float(np.mean(vals)) if vals else float("nan")

@@ -12,13 +12,15 @@ NPROC="${3:-10}"
 mkdir -p "${OUT}/ss_npy" "${OUT}/records"
 
 for SPLIT in train2017 val2017; do
+  pids=()
   for ((i=0; i<NPROC; i++)); do
     python tools/create_selective_search_data.py \
       --image_dir "${DATA_DIR}/${SPLIT}" \
       --output_dir "${OUT}/ss_npy" \
       --process_indicator "${i}/${NPROC}" &
+    pids+=($!)
   done
-  wait
+  for pid in "${pids[@]}"; do wait "$pid"; done
 done
 
 python tools/create_coco_tf_record.py \

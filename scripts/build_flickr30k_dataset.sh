@@ -10,13 +10,15 @@ OUT="${2:?output dir}"
 NPROC="${3:-10}"
 mkdir -p "${OUT}/ss_npy" "${OUT}/records"
 
+pids=()
 for ((i=0; i<NPROC; i++)); do
   python tools/create_selective_search_data.py \
     --image_dir "${DATA_DIR}/flickr30k_images" \
     --output_dir "${OUT}/ss_npy" \
     --process_indicator "${i}/${NPROC}" &
+  pids+=($!)
 done
-wait
+for pid in "${pids[@]}"; do wait "$pid"; done
 
 python tools/create_flickr30k_tf_record.py \
   --image_source "${DATA_DIR}/flickr30k_images" \

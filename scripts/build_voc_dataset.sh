@@ -10,13 +10,15 @@ mkdir -p "${OUT}/ss_npy" "${OUT}/records"
 
 for YEAR in VOC2007 VOC2012; do
   [ -d "${DATA_DIR}/${YEAR}" ] || continue
+  pids=()
   for ((i=0; i<NPROC; i++)); do
     python tools/create_selective_search_data.py \
       --image_dir "${DATA_DIR}/${YEAR}/JPEGImages" \
       --output_dir "${OUT}/ss_npy" \
       --process_indicator "${i}/${NPROC}" &
+    pids+=($!)
   done
-  wait
+  for pid in "${pids[@]}"; do wait "$pid"; done
   for SPLIT in trainval test; do
     [ -f "${DATA_DIR}/${YEAR}/ImageSets/Main/${SPLIT}.txt" ] || continue
     python tools/create_pascal_tf_record.py \

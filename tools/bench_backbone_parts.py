@@ -9,9 +9,9 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = 2
 H, W = 1024, 1536
@@ -31,25 +31,10 @@ def main():
     n1, n2 = max(args.steps // 3, 1), args.steps
     rs = np.random.RandomState(0)
 
-    def sync(tree):
-        leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+    from benchlib import slope_time
 
     def slope(fn, fargs):
-        out = fn(*fargs)
-        sync(out)
-
-        def run(n):
-            t0 = time.time()
-            o = None
-            for _ in range(n):
-                o = fn(*fargs)
-            sync(o)
-            return time.time() - t0
-
-        t1, t2 = run(n1), run(n2)
-        per = (t2 - t1) / (n2 - n1)
-        return per if per > 0 else t2 / n2
+        return slope_time(fn, fargs, steps=n2)
 
     def record(name, seconds, gflop=None):
         entry = {"part": name, "ms": round(seconds * 1e3, 3)}

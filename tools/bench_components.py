@@ -16,6 +16,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = 2
 CANVAS_HW = (1024, 1536)
@@ -25,25 +26,12 @@ OICR_ITERATIONS = 3
 CROP = 14
 
 
+from benchlib import slope_time as _shared_slope_time  # noqa: E402
+
+
 def _slope_time(fn, args, n1, n2, sync):
-    """Seconds per call via two-run slope; sync() must materialize."""
-    out = fn(*args)
-    sync(out)  # compile + one execution
-
-    def run(n):
-        t0 = time.time()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        sync(o)
-        return time.time() - t0
-
-    t1 = run(n1)
-    t2 = run(n2)
-    per = (t2 - t1) / (n2 - n1)
-    if per <= 0:
-        per = t2 / n2
-    return per
+    """Seconds per call via two-run slope (tools/benchlib.py)."""
+    return _shared_slope_time(fn, args, steps=n2, sync=sync)
 
 
 def main():
@@ -70,16 +58,7 @@ def main():
     backend = jax.default_backend()
     print("backend: %s" % backend, file=sys.stderr)
 
-    def sync(tree):
-        leaf = jax.tree.leaves(tree)[0]
-        np.asarray(jax.device_get(leaf)).ravel()[:1]
-        float(jnp.sum(leaf).astype(jnp.float32)) if hasattr(leaf, "dtype") else None
-
-    def sync_scalarize(tree):
-        # Materialize a scalar derived from the output (true sync on axon).
-        leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
-        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves[:1])
-        float(s)
+    from benchlib import sync_scalarize
 
     classes = ["class_%02d" % i for i in range(NUM_CLASSES)]
     label_file = synthetic.write_label_file(

@@ -129,32 +129,58 @@ def _score_boxes(boxes, group_sums, group_boxes, kappa=1.5):
     return totals / np.power(perim, kappa)
 
 
-def _nms(boxes, scores, iou_threshold=0.8, max_out=2000):
+def _nms(boxes, scores, iou_threshold=0.8, max_out=2000, pre_nms_top=5000):
+    """Greedy NMS over the top-`pre_nms_top` candidates with a vectorized
+    suppression mask (the per-pair Python loop was O(N * keep))."""
     order = np.argsort(-scores, kind="stable")
+    order = order[scores[order] > 0][:pre_nms_top]
+    if len(order) == 0:
+        return np.zeros((0,), np.int64)
+    b = boxes[order].astype(np.float64)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    alive = np.ones(len(order), bool)
     keep = []
-    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    for i in order:
-        if scores[i] <= 0:
+    for i in range(len(order)):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        if len(keep) >= max_out:
             break
-        ok = True
-        for j in keep:
-            iy = max(0.0, min(boxes[i, 2], boxes[j, 2]) - max(boxes[i, 0], boxes[j, 0]))
-            ix = max(0.0, min(boxes[i, 3], boxes[j, 3]) - max(boxes[i, 1], boxes[j, 1]))
-            inter = iy * ix
-            if inter / max(areas[i] + areas[j] - inter, 1e-12) > iou_threshold:
-                ok = False
-                break
-        if ok:
-            keep.append(i)
-            if len(keep) >= max_out:
-                break
+        iy = np.maximum(
+            0.0, np.minimum(b[i, 2], b[:, 2]) - np.maximum(b[i, 0], b[:, 0])
+        )
+        ix = np.maximum(
+            0.0, np.minimum(b[i, 3], b[:, 3]) - np.maximum(b[i, 1], b[:, 1])
+        )
+        inter = iy * ix
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+        alive &= iou <= iou_threshold
+        alive[i] = False
     return np.asarray(keep, np.int64)
 
 
-def get_edge_boxes(image, max_boxes=500, edge_threshold=None, min_side=16):
-    """Returns ([N,4] normalized [ymin,xmin,ymax,xmax], [N] scores)."""
+def get_edge_boxes(image, max_boxes=500, edge_threshold=None, min_side=16,
+                   work_max_dim=400):
+    """Returns ([N,4] normalized [ymin,xmin,ymax,xmax], [N] scores).
+
+    The image is downscaled so max(H, W) <= work_max_dim before edge
+    analysis (outputs are normalized, so coordinates are unaffected):
+    the Python flood fill and the [candidates x groups] containment
+    matrix are quadratic in resolution, and proposal quality at this
+    scale matches the reference tool's defaults.
+    """
     image = np.asarray(image)
     gray = image.mean(axis=-1) if image.ndim == 3 else image
+    scale = work_max_dim / max(gray.shape)
+    if scale < 1.0:
+        import cv2
+
+        gray = cv2.resize(
+            gray.astype(np.float32),
+            (max(1, int(round(gray.shape[1] * scale))),
+             max(1, int(round(gray.shape[0] * scale)))),
+            interpolation=cv2.INTER_AREA,
+        )
     mag = _sobel(gray)
     if edge_threshold is None:
         edge_threshold = max(float(np.percentile(mag, 90)), 1e-3)
@@ -162,6 +188,13 @@ def get_edge_boxes(image, max_boxes=500, edge_threshold=None, min_side=16):
     if num_groups == 0:
         return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
     sums, gboxes = _group_stats(mag, labels, num_groups)
+    # Keep only the strongest groups: noise specks add nothing to any
+    # box's ranking but blow up the [candidates x groups] containment
+    # matrix (and real object boundaries dominate the magnitude sums).
+    max_groups = 512
+    if len(sums) > max_groups:
+        top = np.argsort(-sums, kind="stable")[:max_groups]
+        sums, gboxes = sums[top], gboxes[top]
     h, w = gray.shape
     cands = _candidate_boxes(h, w, min_side=min_side)
     scores = _score_boxes(cands, sums, gboxes)

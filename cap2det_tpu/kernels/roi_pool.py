@@ -61,7 +61,7 @@ def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
                 crop_size, pool_kernel, pool_stride):
     height, width, cb = feat_ref.shape[1:]
     p = pl.program_id(2)
-    y1, x1, y2, x2 = (boxes_ref[0, p, k] for k in range(4))
+    y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
 
     y_idx, y_frac, y_in = _sample_coords(y1, y2, crop_size, height)
     x_idx, x_frac, x_in = _sample_coords(x1, x2, crop_size, width)
@@ -138,7 +138,7 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
     def _():
         dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
 
-    y1, x1, y2, x2 = (boxes_ref[0, p, k] for k in range(4))
+    y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
     y_idx, y_frac, y_in = _sample_coords(y1, y2, crop_size, height)
     x_idx, x_frac, x_in = _sample_coords(x1, x2, crop_size, width)
 
@@ -219,7 +219,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, num_p, 4), lambda b, c, p: (b, 0, 0),
+            pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
         ],
@@ -234,7 +234,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(boxes, features)[..., :orig_channels]
+    )(jnp.transpose(boxes, (0, 2, 1)), features)[..., :orig_channels]
 
 
 def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
@@ -258,7 +258,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, num_p, 4), lambda b, c, p: (b, 0, 0),
+            pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
             pl.BlockSpec(
@@ -276,7 +276,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(boxes, features, grad)
+    )(jnp.transpose(boxes, (0, 2, 1)), features, grad)
     return dfeat[..., :orig_channels].astype(features.dtype)
 
 

@@ -196,14 +196,6 @@ def _block_params(rng, spec, cin):
     return out, total
 
 
-def _branch_input_channels(branch, cin):
-    c = cin
-    for name, k, cout, stride in branch:
-        if not name.startswith("pool_"):
-            c = cout
-    return c
-
-
 def init_first_stage_params(rng):
     """InceptionV2 stem + Mixed_3b..Mixed_4e (576ch, stride 16)."""
     params = {}

@@ -26,10 +26,14 @@ import numpy as np
 
 def resize_image_to_size(image, new_height, new_width, method="bilinear"):
     """Resizes [H, W, C] to a static size. Returns (image, shape[3])."""
+    # antialias=False: TF1 resize_bilinear is a plain 2-tap kernel; the
+    # jax.image default widens the kernel on downscale and would diverge
+    # from the reference on every downscaled pixel.
     out = jax.image.resize(
         image.astype(jnp.float32),
         (new_height, new_width, image.shape[-1]),
         method=method,
+        antialias=False,
     )
     return out, jnp.array([new_height, new_width, image.shape[-1]], jnp.int32)
 

@@ -59,8 +59,8 @@ def _per_image_nms(boxes, scores, iou_thresh, score_thresh, max_per_class):
     keep_sorted = jnp.take_along_axis(keep, order, axis=1)
     rank_within = jnp.cumsum(keep_sorted.astype(jnp.int32), axis=1)
     keep_sorted = keep_sorted & (rank_within <= max_per_class)
-    inv = jnp.argsort(order, axis=-1, stable=True)
-    keep = jnp.take_along_axis(keep_sorted, inv, axis=1)
+    # `rank` (above) IS the inverse permutation of `order`.
+    keep = jnp.take_along_axis(keep_sorted, rank, axis=1)
     return keep.T  # [P, C]
 
 

@@ -53,7 +53,9 @@ def lstm_encode(params, embeddings, lengths):
         h, c, t = carry
         gates = xt @ params["kernel"] + h @ params["recurrent"] + params["bias"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        # forget_bias=1.0: BasicLSTMCell semantics (reference
+        # core/sequence_encoding.py builds the default cell).
+        c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         valid = (t < lengths)[:, None]
         h = jnp.where(valid, h_new, h)

@@ -72,17 +72,43 @@ def save_params(path, params):
 
 
 def restore_params(path, params_like=None):
-    """Restores a params pytree saved with `save_params` or a train-state
-    checkpoint dir (in which case the 'params' subtree is returned)."""
+    """Restores a params pytree from any of the three layouts a user can
+    point a warm-start flag at:
+
+      * a `save_params` file,
+      * a trainer checkpoint step dir ``<model_dir>/ckpt/<step>`` — the
+        CheckpointManager nests the tree under ``<step>/default/``, which
+        StandardCheckpointer cannot open directly,
+      * a model_dir itself (the newest step is used) — the natural target
+        for ``text_classifier_checkpoint_file`` after scripts/train_text.sh.
+
+    Train-state trees return their 'params' subtree.
+    """
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    try:
-        out = ckptr.restore(path, target=params_like)
-    finally:
-        ckptr.close()
-    if isinstance(out, dict) and "params" in out and "step" in out:
-        return out["params"]
-    return out
+    candidates = [path, os.path.join(path, "default")]
+    step, step_path = latest_checkpoint(path)
+    if step is not None:
+        candidates.append(os.path.join(step_path, "default"))
+
+    last_err = None
+    for candidate in candidates:
+        if not os.path.isdir(candidate):
+            continue
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            out = ckptr.restore(candidate, target=params_like)
+        except Exception as e:  # try the next layout
+            last_err = e
+            continue
+        finally:
+            ckptr.close()
+        if isinstance(out, dict) and "params" in out and "step" in out:
+            return out["params"]
+        return out
+    raise FileNotFoundError(
+        "no restorable checkpoint at %s (tried %s): %s"
+        % (path, candidates, last_err)
+    )
 
 
 def latest_checkpoint(model_dir):

@@ -22,6 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from cap2det_tpu.config import schema
 from cap2det_tpu.data import pipeline as pipeline_lib
@@ -107,7 +108,7 @@ def make_train_step(model, tx, train_config, trainable_mask=None,
             total = jax.lax.pmean(total, pmean_axis)
             loss_dict = jax.lax.pmean(loss_dict, pmean_axis)
         updates, opt_state = tx.update(grads, state["opt_state"], params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
 
         new_state = dict(state)
         new_state["params"] = params
@@ -194,12 +195,27 @@ def train(
 
     mesh = None
     batch_size = reader.cap2det_reader.batch_size
-    if use_mesh and len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
-        mesh = mesh_lib.create_mesh()
-        # Replicate state across the mesh so every device participates in
-        # the SPMD program (mixed single-device/sharded placements deadlock
-        # the collective).
-        state = jax.device_put(state, mesh_lib.replicated(mesh))
+    n_devices = len(jax.devices())
+    if use_mesh and n_devices > 1:
+        usable = mesh_lib.usable_device_count(batch_size)
+        if usable > 1:
+            if usable < n_devices:
+                log.warning(
+                    "batch_size %d not divisible by %d devices; using the "
+                    "largest usable sub-mesh of %d devices",
+                    batch_size, n_devices, usable,
+                )
+            mesh = mesh_lib.create_mesh(jax.devices()[:usable])
+            # Replicate state across the mesh so every device participates
+            # in the SPMD program (mixed single-device/sharded placements
+            # deadlock the collective).
+            state = jax.device_put(state, mesh_lib.replicated(mesh))
+        else:
+            log.warning(
+                "batch_size %d shares no divisor with %d devices; training "
+                "single-device — raise batch_size for data parallelism",
+                batch_size, n_devices,
+            )
 
     if mesh is not None:
         # Explicit SPMD: shard_map over the data axis; the step body

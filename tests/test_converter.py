@@ -73,3 +73,37 @@ def test_tf_checkpoint_roundtrip(tmp_path):
         )
         checked += 1
     assert checked > 100
+
+
+def test_restore_params_all_layouts(tmp_path):
+    """restore_params must read every layout a warm-start flag can point
+    at: a save_params file, a trainer step dir (tree nested under
+    <step>/default/), and a model_dir (newest step picked)."""
+    import numpy as np
+
+    from cap2det_tpu.train import checkpoint as ckpt_lib
+
+    params = {"layer": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+
+    flat_path = str(tmp_path / "flat_params")
+    ckpt_lib.save_params(flat_path, params)
+    out = ckpt_lib.restore_params(flat_path)
+    np.testing.assert_array_equal(out["layer"]["w"], params["layer"]["w"])
+
+    model_dir = str(tmp_path / "model")
+    manager = ckpt_lib.CheckpointManager(model_dir)
+    state = {"params": params, "opt_state": {}, "step": 7}
+    manager.save(7, state)
+    manager.close()
+
+    step_dir = ckpt_lib.latest_checkpoint(model_dir)[1]
+    out = ckpt_lib.restore_params(step_dir)
+    np.testing.assert_array_equal(out["layer"]["w"], params["layer"]["w"])
+
+    out = ckpt_lib.restore_params(model_dir)
+    np.testing.assert_array_equal(out["layer"]["w"], params["layer"]["w"])
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        ckpt_lib.restore_params(str(tmp_path / "nope"))

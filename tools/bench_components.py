@@ -36,10 +36,13 @@ def _slope_time(fn, args, n1, n2, sync):
 
 def main():
     parser = argparse.ArgumentParser()
+    global BATCH
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--components", default="")
     parser.add_argument("--proposals", type=int, default=NUM_PROPOSALS)
+    parser.add_argument("--batch", type=int, default=BATCH)
     args = parser.parse_args()
+    BATCH = args.batch
 
     import jax
     import jax.numpy as jnp

@@ -505,8 +505,11 @@ class TextModel(Config):
 class Model(Config):
     """Open extension point (model.proto): exactly one extension is set."""
 
-    cap2det_model: Optional[Cap2DetModel] = None
-    text_model: Optional[TextModel] = None
+    # Typed message fields so the non-extension spelling
+    # `model { cap2det_model {...} }` is validated too (the raw-dict
+    # assignment used to defer the failure to registry.build).
+    cap2det_model: Optional[Cap2DetModel] = message(Cap2DetModel)
+    text_model: Optional[TextModel] = message(TextModel)
 
     _EXTENSIONS = {
         "Cap2DetModel.ext": ("cap2det_model", Cap2DetModel),

@@ -279,6 +279,17 @@ class InputPipeline:
                     resizer.fixed_shape_resizer.width,
                 )
 
+        if (options.preprocess_options is not None
+                and options.preprocess_options.random_crop_prob > 0):
+            # The reference's cap2det reader path uses the flip-only v2
+            # preprocess (core/preprocess.py:56-78); random_crop belongs
+            # to the v1 chain no reader calls, and applying it here would
+            # require box/proposal adjustment. Refuse rather than ignore.
+            raise ValueError(
+                "random_crop_prob is not supported by the cap2det reader "
+                "(the reference's v2 preprocess path is flip-only)"
+            )
+
         self._scales = list(options.batch_resize_scale_value) or [1.0]
         self._shard = None
         if options.shard_indicator:
@@ -495,8 +506,8 @@ class InputPipeline:
                 if len(pending) == batch_size:
                     yield self._assemble_text_batch(pending)
                     pending = []
-            if pending and not opt.is_training and len(pending) == batch_size:
-                yield self._assemble_text_batch(pending)
+            # Trailing partial batch dropped: reference padded_batch uses
+            # drop_remainder=True (cap2det_reader.py:252).
             return
 
         # Serial pre-stage: read JPEG dims (header only — no pixel decode),
@@ -572,12 +583,8 @@ class InputPipeline:
             if len(buckets[key]) == batch_size:
                 yield self._stack_image_batch(buckets[key])
                 buckets[key] = []
-        # Eval drains remaining full groups only (drop_remainder=True parity).
-        if not opt.is_training:
-            for key, pending in buckets.items():
-                while len(pending) >= batch_size:
-                    yield self._stack_image_batch(pending[:batch_size])
-                    pending = pending[batch_size:]
+        # Trailing partial buckets dropped: reference padded_batch uses
+        # drop_remainder=True (cap2det_reader.py:252).
 
     def _prefetched(self, gen):
         if self.prefetch <= 0:
@@ -586,25 +593,42 @@ class InputPipeline:
         q = queue_lib.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
+        stop = threading.Event()
+
+        def put(item):
+            # Bounded put that aborts when the consumer abandoned the
+            # iterator — a plain q.put would block forever, leaking the
+            # thread, a pinned batch, and the open record file.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue_lib.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in gen:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def build_input_pipeline(reader_config: schema.Reader, **kwargs):

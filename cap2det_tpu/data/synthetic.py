@@ -12,8 +12,7 @@ import io
 
 import numpy as np
 
-from cap2det_tpu.data import tf_example, tfrecord
-from cap2det_tpu.fields import TFExampleFields
+from cap2det_tpu.data import record_builder, tfrecord
 
 VOC_CLASSES = [
     "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
@@ -42,20 +41,18 @@ def make_example(
     num_proposals=50,
     with_image=True,
 ):
-    """Builds one feature dict in the reference schema."""
+    """Builds one serialized tf.Example in the reference schema (via
+    record_builder.build_example — the same writer the dataset tools
+    use, so synthetic data can't drift from the real schema)."""
     h, w = image_hw
     present = rng.choice(len(classes), size=num_objects, replace=True)
 
-    tokens = []
-    offsets = []
-    lengths = []
+    captions = []
     for _ in range(num_captions):
         cap = list(rng.choice(_FILLER, size=3))
         cap.append(classes[rng.choice(present)])
         cap.append(rng.choice(_FILLER))
-        offsets.append(len(tokens))
-        lengths.append(len(cap))
-        tokens.extend(cap)
+        captions.append(cap)
 
     def rand_boxes(n):
         y0 = rng.uniform(0, 0.6, n)
@@ -64,32 +61,19 @@ def make_example(
         x1 = x0 + rng.uniform(0.2, 0.4, n)
         return np.clip(np.stack([y0, x0, y1, x1], -1), 0, 1).astype(np.float32)
 
-    obj_boxes = rand_boxes(num_objects)
-    prop_boxes = rand_boxes(num_proposals)
-
-    feats = {
-        TFExampleFields.image_id: ("bytes", [image_id.encode()]),
-        TFExampleFields.caption_string: ("bytes", [t.encode() for t in tokens]),
-        TFExampleFields.caption_offset: ("int64", offsets),
-        TFExampleFields.caption_length: ("int64", lengths),
-        TFExampleFields.object_box_ymin: ("float", obj_boxes[:, 0]),
-        TFExampleFields.object_box_xmin: ("float", obj_boxes[:, 1]),
-        TFExampleFields.object_box_ymax: ("float", obj_boxes[:, 2]),
-        TFExampleFields.object_box_xmax: ("float", obj_boxes[:, 3]),
-        TFExampleFields.object_text: (
-            "bytes",
-            [classes[i].encode() for i in present],
-        ),
-        TFExampleFields.object_label: ("int64", [int(i) + 1 for i in present]),
-        TFExampleFields.proposal_box_ymin: ("float", prop_boxes[:, 0]),
-        TFExampleFields.proposal_box_xmin: ("float", prop_boxes[:, 1]),
-        TFExampleFields.proposal_box_ymax: ("float", prop_boxes[:, 2]),
-        TFExampleFields.proposal_box_xmax: ("float", prop_boxes[:, 3]),
-    }
+    image_encoded = None
     if with_image:
         image = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-        feats[TFExampleFields.image_encoded] = ("bytes", [encode_jpeg(image)])
-    return feats
+        image_encoded = encode_jpeg(image)
+    return record_builder.build_example(
+        image_id,
+        image_encoded=image_encoded,
+        captions=captions,
+        object_boxes=rand_boxes(num_objects),
+        object_texts=[classes[i] for i in present],
+        object_labels=[int(i) + 1 for i in present],
+        proposal_boxes=rand_boxes(num_proposals),
+    )
 
 
 def write_synthetic_dataset(
@@ -104,15 +88,14 @@ def write_synthetic_dataset(
     rng = np.random.default_rng(seed)
     with tfrecord.TFRecordWriter(path) as w:
         for i in range(num_examples):
-            feats = make_example(
+            w.write(make_example(
                 rng,
                 "synthetic-%05d" % i,
                 classes=classes,
                 image_hw=image_hw,
                 with_image=with_image,
                 num_proposals=num_proposals,
-            )
-            w.write(tf_example.encode_example(feats))
+            ))
     return path
 
 
@@ -168,24 +151,15 @@ def make_localizable_example(rng, image_id, classes, image_hw=(96, 128),
     proposals = np.stack(props)
 
     cap = list(rng.choice(_FILLER, size=2)) + [classes[cls]]
-    feats = {
-        TFExampleFields.image_id: ("bytes", [image_id.encode()]),
-        TFExampleFields.image_encoded: ("bytes", [encode_jpeg(image)]),
-        TFExampleFields.caption_string: ("bytes", [t.encode() for t in cap]),
-        TFExampleFields.caption_offset: ("int64", [0]),
-        TFExampleFields.caption_length: ("int64", [len(cap)]),
-        TFExampleFields.object_box_ymin: ("float", [gt[0]]),
-        TFExampleFields.object_box_xmin: ("float", [gt[1]]),
-        TFExampleFields.object_box_ymax: ("float", [gt[2]]),
-        TFExampleFields.object_box_xmax: ("float", [gt[3]]),
-        TFExampleFields.object_text: ("bytes", [classes[cls].encode()]),
-        TFExampleFields.object_label: ("int64", [cls + 1]),
-        TFExampleFields.proposal_box_ymin: ("float", proposals[:, 0]),
-        TFExampleFields.proposal_box_xmin: ("float", proposals[:, 1]),
-        TFExampleFields.proposal_box_ymax: ("float", proposals[:, 2]),
-        TFExampleFields.proposal_box_xmax: ("float", proposals[:, 3]),
-    }
-    return feats
+    return record_builder.build_example(
+        image_id,
+        image_encoded=encode_jpeg(image),
+        captions=[cap],
+        object_boxes=gt[None, :],
+        object_texts=[classes[cls]],
+        object_labels=[cls + 1],
+        proposal_boxes=proposals,
+    )
 
 
 def write_localizable_dataset(path, num_examples=16, seed=0,
@@ -195,12 +169,11 @@ def write_localizable_dataset(path, num_examples=16, seed=0,
     classes = list(classes)
     with tfrecord.TFRecordWriter(path) as w:
         for i in range(num_examples):
-            feats = make_localizable_example(
+            w.write(make_localizable_example(
                 rng,
                 "localizable-%05d" % i,
                 classes,
                 image_hw=image_hw,
                 num_distractors=num_distractors,
-            )
-            w.write(tf_example.encode_example(feats))
+            ))
     return path

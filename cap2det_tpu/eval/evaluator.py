@@ -30,10 +30,9 @@ import numpy as np
 from cap2det_tpu.config import schema
 from cap2det_tpu.data import pipeline as pipeline_lib
 from cap2det_tpu.eval import voc_eval
-from cap2det_tpu.fields import DetectionFields
+from cap2det_tpu.fields import DetectionFields, InputFields
 from cap2det_tpu.models import registry
 from cap2det_tpu.train import checkpoint as ckpt_lib
-from cap2det_tpu.train import trainer as trainer_lib
 
 log = logging.getLogger("cap2det.eval")
 
@@ -164,8 +163,10 @@ def run_text_evaluation(pipeline_config, params, model=None,
     metrics = model.make_metrics()
     count = 0
     for host_batch in pipe:
-        model.evaluate_batch(metrics, params, model.device_batch(host_batch))
-        count += 1
+        batch = model.device_batch(host_batch)
+        model.evaluate_batch(metrics, params, batch)
+        # Count EXAMPLES (the detection path's unit), not batches.
+        count += len(host_batch[InputFields.image_id])
         if max_eval_examples and count >= max_eval_examples:
             break
     result = metrics.result()
@@ -182,8 +183,14 @@ def run_evaluation(
     eval_coco_on_voc=False,
     visualize_fn=None,
     evaluator_kind="pascal",
+    predictor=None,
 ):
-    """Single evaluation pass. Returns (metrics dict, per-iteration mAP list)."""
+    """Single evaluation pass. Returns (metrics dict, per-iteration mAP list).
+
+    Pass a `predictor` (with update_params already called) when evaluating
+    many checkpoints — rebuilding it re-jits the multi-scale forward pass
+    for every canvas shape, minutes of compile per poll on TPU.
+    """
     if model is None:
         model = registry.build(pipeline_config.model, is_training=False)
     if not hasattr(model, "postprocess"):  # text model family
@@ -193,7 +200,10 @@ def run_evaluation(
         )
     reader_cfg = pipeline_config.eval_reader.cap2det_reader
     pipe = pipeline_lib.InputPipeline(reader_cfg, prefetch=0)
-    predictor = MultiScalePredictor(model, params, reader_cfg)
+    if predictor is None:
+        predictor = MultiScalePredictor(model, params, reader_cfg)
+    else:
+        predictor.update_params(params)
     evaluators, categories = build_detection_evaluators(
         model, eval_coco_on_voc, evaluator_kind
     )
@@ -300,6 +310,13 @@ def continuous_evaluation(
     evaluated = set()
     idle = 0
     best = None
+    # Built once and reused across checkpoints: rebuilding re-jits the
+    # multi-scale forward for every canvas shape at every poll.
+    predictor = None
+    if hasattr(model, "postprocess"):
+        predictor = MultiScalePredictor(
+            model, None, pipeline_config.eval_reader.cap2det_reader
+        )
     while True:
         step, path = ckpt_lib.latest_checkpoint(model_dir)
         if step is None or step in evaluated or step < min_eval_steps:
@@ -333,6 +350,7 @@ def continuous_evaluation(
             eval_coco_on_voc=eval_coco_on_voc,
             visualize_fn=visualize_fn,
             evaluator_kind=evaluator_kind,
+            predictor=predictor,
         )
         if report is not None:
             report.write(
@@ -352,4 +370,5 @@ def continuous_evaluation(
             step, final_map, path, saved_dir
         )
         evaluated.add(step)
-        best = (step, final_map)
+        if best is None or final_map >= best[1]:
+            best = (step, final_map)

@@ -37,7 +37,8 @@ def export_results(
     predictor = MultiScalePredictor(model, params, reader_cfg)
 
     results = {}
-    for count, example in enumerate(pipe.example_stream()):
+    exported = 0
+    for example in pipe.example_stream():
         if example.get("image_encoded") is None:
             continue
         result = predictor.predict(example)
@@ -54,7 +55,8 @@ def export_results(
                 result[DetectionFields.detection_classes + suffix][:n]
             ).tolist(),
         }
-        if max_examples and count + 1 >= max_examples:
+        exported += 1  # count exported results, not skipped records
+        if max_examples and exported >= max_examples:
             break
     with open(output_path, "w") as fid:
         json.dump(results, fid)

@@ -22,7 +22,7 @@ import pytest
 import jax
 
 from cap2det_tpu.config import schema
-from cap2det_tpu.data import synthetic, tf_example, tfrecord
+from cap2det_tpu.data import synthetic, tfrecord
 from cap2det_tpu.eval import evaluator as evaluator_lib
 from cap2det_tpu.models import frcnn, registry
 from cap2det_tpu.train import checkpoint as ckpt_lib
@@ -146,11 +146,10 @@ def test_overfit_synthetic_detection_map(tmp_path):
     rng = np.random.default_rng(11)
     with tfrecord.TFRecordWriter(record) as w:
         for i in range(16):
-            feats = synthetic.make_localizable_example(
+            w.write(synthetic.make_localizable_example(
                 rng, "loc-%05d" % i, CLASSES,
                 image_hw=(128, 160), num_distractors=7,
-            )
-            w.write(tf_example.encode_example(feats))
+            ))
     label_file = synthetic.write_label_file(
         str(tmp_path / "labels.txt"), CLASSES
     )

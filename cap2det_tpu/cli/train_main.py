@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    # Multi-host SPMD: no-op on a single host; wires the DCN control
+    # plane when JAX_COORDINATOR_ADDRESS (+NUM_PROCESSES/PROCESS_ID)
+    # is set by the launcher (parallel/distributed.py).
+    from cap2det_tpu.parallel import distributed
+
+    distributed.maybe_initialize()
+
     pipeline = load_pipeline_proto(args.pipeline_proto, args.model_dir)
     trainer.train(
         pipeline,

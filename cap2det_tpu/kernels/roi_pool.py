@@ -157,15 +157,32 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
             cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
         )
 
-    # Route pooled gradient through the max mask.
+    # Route pooled gradient to the FIRST max only (TF MaxPoolGrad
+    # semantics). A plain `windows >= maxima` mask sends the full
+    # gradient to every tied element — and ties are common (post-ReLU
+    # zeros, degenerate boxes), inflating dF by up to pool_kernel^2.
     pooled_size = (crop_size - pool_kernel) // pool_stride + 1
     crop = crop_ref[...]
     windows = crop.reshape(pooled_size, pool_kernel, pooled_size, pool_kernel, cb)
-    maxima = jnp.max(windows, axis=(1, 3), keepdims=True)
+    maxima = jnp.max(windows, axis=(1, 3))  # [ps, ps, cb]
     g = grad_ref[0, 0, :, :, :].astype(jnp.float32)
-    dwindows = jnp.where(
-        windows >= maxima, g[:, None, :, None, :], 0.0
-    )
+    taken = jnp.zeros_like(maxima, dtype=jnp.float32)
+    pieces = {}
+    for ky in range(pool_kernel):
+        for kx in range(pool_kernel):
+            hit = (
+                (windows[:, ky, :, kx, :] >= maxima).astype(jnp.float32)
+                * (1.0 - taken)
+            )
+            pieces[(ky, kx)] = g * hit
+            taken = jnp.maximum(taken, hit)
+    dwindows = jnp.stack(
+        [
+            jnp.stack([pieces[(ky, kx)] for kx in range(pool_kernel)], axis=2)
+            for ky in range(pool_kernel)
+        ],
+        axis=1,
+    )  # [ps, k, ps, k, cb]
     dcrop = dwindows.reshape(crop_size, crop_size, cb)
 
     wx = _interp_matrix(x1, x2, crop_size, width)  # [S, W]
@@ -201,6 +218,14 @@ def _pad_channels(x, cb):
 
 def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
              channel_block, interpret):
+    if features.shape[1] < 2 or features.shape[2] < 2:
+        # _sample_coords clamps to [0, extent-2]; extent 1 would produce
+        # a -1 dynamic-slice start (out-of-bounds read). Fail loudly —
+        # a <2-cell feature map means the image was under 32px a side.
+        raise ValueError(
+            "roi_crop_maxpool needs a feature map of at least 2x2; got %s"
+            % (features.shape,)
+        )
     orig_channels = features.shape[-1]
     features = _pad_channels(features, channel_block)
     batch, height, width, channels = features.shape

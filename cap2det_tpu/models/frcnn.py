@@ -67,6 +67,15 @@ def extract_features(
         import jax
 
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and (
+        options.maxpool_stride != options.maxpool_kernel_size
+        or options.initial_crop_size % options.maxpool_kernel_size != 0
+    ):
+        # The fused kernel pools via a [ps, k, ps, k] reshape, which
+        # requires non-overlapping windows that tile the crop; the XLA
+        # path handles arbitrary kernel/stride (all shipped configs use
+        # 2/2 with even crops, so this is the rare-config fallback).
+        use_pallas = False
     batch, num_proposals = proposals.shape[:2]
 
     preprocessed = inception_v2.preprocess(images)

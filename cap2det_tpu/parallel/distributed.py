@@ -30,6 +30,13 @@ def maybe_initialize(coordinator_address=None, num_processes=None,
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
+    # jax only reads JAX_COORDINATOR_ADDRESS itself; NUM_PROCESSES /
+    # PROCESS_ID must be forwarded explicitly or generic (non-TPU-pod)
+    # launchers fail with "Number of processes must be defined".
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False
     jax.distributed.initialize(

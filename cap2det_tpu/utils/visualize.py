@@ -37,7 +37,7 @@ def draw_rectangles(image, boxes, labels=None, color=(255, 0, 0), thickness=2,
         p1 = (int(x1 * sx), int(y1 * sy))
         p2 = (int(x2 * sx), int(y2 * sy))
         cv2.rectangle(out, p1, p2, color, thickness)
-        if label:
+        if label is not None and label != "":
             cv2.putText(
                 out, str(label), (p1[0], max(p1[1] - 4, 10)),
                 cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1,

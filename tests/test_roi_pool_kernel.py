@@ -91,3 +91,24 @@ def test_bfloat16_features():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2
     )
+
+
+def test_tied_windows_conserve_gradient_mass():
+    """Fully-tied pool windows (constant features — the post-ReLU-zeros
+    case) must not inflate the gradient: total mass equals the upstream
+    mass, matching TF MaxPoolGrad's route-to-first-max semantics. (A
+    `windows >= max` mask would multiply it by pool_kernel^2.)"""
+    import jax
+    import jax.numpy as jnp
+
+    feat = np.zeros((1, 8, 8, 8), np.float32)
+    boxes = np.array([[[0.0, 0.0, 1.0, 1.0]]], np.float32)
+
+    g = jax.grad(
+        lambda f: jnp.sum(
+            roi_pool.roi_crop_maxpool(f, boxes, 4, 2, 2, interpret=True)
+            .astype(jnp.float32)
+        )
+    )(feat)
+    # 2x2 pooled output x 8 channels -> upstream mass 32.
+    np.testing.assert_allclose(float(np.sum(np.asarray(g))), 32.0, atol=1e-4)

@@ -28,7 +28,7 @@ CROP = 14
 from benchlib import slope_time as _shared_slope_time  # noqa: E402
 
 
-def _slope_time(fn, args, n1, n2, sync):
+def _slope_time(fn, args, n2, sync):
     """Seconds per call via two-run slope (tools/benchlib.py)."""
     return _shared_slope_time(fn, args, steps=n2, sync=sync)
 
@@ -56,7 +56,7 @@ def main():
     import tempfile
 
     num_proposals = args.proposals
-    n1, n2 = max(args.steps // 3, 1), args.steps
+    n2 = args.steps
     backend = jax.default_backend()
     print("backend: %s" % backend, file=sys.stderr)
 
@@ -137,7 +137,7 @@ def main():
             return step_fn(st, b, r)[1]
         record(
             "train_step",
-            _slope_time(run_step, (state, batch, step_rng), n1, n2,
+            _slope_time(run_step, (state, batch, step_rng), n2,
                         sync_scalarize),
         )
 
@@ -150,7 +150,7 @@ def main():
         )
         record(
             "first_stage_fwd",
-            _slope_time(first, (params, batch["image"]), n1, n2,
+            _slope_time(first, (params, batch["image"]), n2,
                         sync_scalarize),
         )
 
@@ -163,7 +163,7 @@ def main():
             lambda ft, bx: roi_pool.roi_crop_maxpool(ft, bx, CROP, 2, 2)
         )
         record("roi_pallas_fwd",
-               _slope_time(f, (feat, boxes), n1, n2, sync_scalarize))
+               _slope_time(f, (feat, boxes), n2, sync_scalarize))
 
         g = jax.jit(
             jax.grad(
@@ -174,7 +174,7 @@ def main():
             )
         )
         record("roi_pallas_fwdbwd",
-               _slope_time(g, (feat, boxes), n1, n2, sync_scalarize))
+               _slope_time(g, (feat, boxes), n2, sync_scalarize))
 
     if enabled("roi_xla"):
         from cap2det_tpu.ops import roi as roi_ops
@@ -183,7 +183,7 @@ def main():
             lambda ft, bx: roi_ops.crop_resize_maxpool(ft, bx, CROP, 2, 2)
         )
         record("roi_xla_fwd",
-               _slope_time(f, (feat, boxes), n1, n2, sync_scalarize))
+               _slope_time(f, (feat, boxes), n2, sync_scalarize))
         g = jax.jit(
             jax.grad(
                 lambda ft, bx: jnp.sum(
@@ -193,7 +193,7 @@ def main():
             )
         )
         record("roi_xla_fwdbwd",
-               _slope_time(g, (feat, boxes), n1, n2, sync_scalarize))
+               _slope_time(g, (feat, boxes), n2, sync_scalarize))
 
     # -- second stage ----------------------------------------------------
     if enabled("second_stage"):
@@ -204,7 +204,7 @@ def main():
         )
         record(
             "second_stage_fwd",
-            _slope_time(second, (params, rois), n1, n2, sync_scalarize),
+            _slope_time(second, (params, rois), n2, sync_scalarize),
         )
 
         def second_loss(p, r):
@@ -214,7 +214,7 @@ def main():
         gsecond = jax.jit(jax.grad(second_loss))
         record(
             "second_stage_fwdbwd",
-            _slope_time(gsecond, (params, rois), n1, n2, sync_scalarize),
+            _slope_time(gsecond, (params, rois), n2, sync_scalarize),
         )
 
     # -- full feature extraction (first + roi + second) -------------------
@@ -226,7 +226,7 @@ def main():
         )
         record(
             "features_fwd",
-            _slope_time(fx, (params, batch["image"], boxes), n1, n2,
+            _slope_time(fx, (params, batch["image"], boxes), n2,
                         sync_scalarize),
         )
 
@@ -265,7 +265,7 @@ def main():
                 gheads,
                 (params, prop_feats, batch["labels"], boxes,
                  batch["num_proposals"]),
-                n1, n2, sync_scalarize,
+                n2, sync_scalarize,
             ),
         )
 

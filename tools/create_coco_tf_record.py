@@ -64,10 +64,14 @@ def create_records(
         caption_file, instance_file
     )
     count = 0
+    missing = 0
     with ShardedWriter(output_path, num_shards) as writer:
         for image_id, img in sorted(images.items()):
             path = os.path.join(image_dir, img["file_name"])
             if not os.path.exists(path):
+                missing += 1
+                if missing <= 5:
+                    log.warning("missing image file, skipping: %s", path)
                 continue
             with open(path, "rb") as fid:
                 encoded = fid.read()
@@ -103,6 +107,11 @@ def create_records(
             count += 1
             if count % 1000 == 0:
                 log.info("wrote %d examples", count)
+    if missing:
+        log.warning(
+            "skipped %d annotation entries with no image file under the "
+            "given --image_dir", missing,
+        )
     log.info("done: %d examples -> %s", count, output_path)
     return count
 

@@ -34,16 +34,33 @@ log = logging.getLogger("create_vocab")
 
 
 def load_glove(path, expected_dims=None):
-    """Parses a GloVe text file -> {word: np.array[dims]}."""
+    """Parses a GloVe text file -> {word: np.array[dims]}.
+
+    Robust to multi-token keys (glove.840B has entries like '. . .'):
+    the vector is the LAST `dims` fields, the word is everything before,
+    with dims inferred from the first line when not given. Malformed
+    lines are skipped with a count.
+    """
     table = {}
+    skipped = 0
+    dims = expected_dims
     with open(path, encoding="utf-8") as fid:
         for line in fid:
             parts = line.rstrip("\n").split(" ")
-            word = parts[0]
-            vec = np.asarray(parts[1:], np.float32)
-            if expected_dims and len(vec) != expected_dims:
+            if dims is None:
+                dims = len(parts) - 1
+            if len(parts) < dims + 1:
+                skipped += 1
+                continue
+            word = " ".join(parts[:-dims])
+            try:
+                vec = np.asarray(parts[-dims:], np.float32)
+            except ValueError:
+                skipped += 1
                 continue
             table[word] = vec
+    if skipped:
+        log.warning("load_glove: skipped %d malformed lines", skipped)
     return table
 
 

@@ -200,8 +200,16 @@ def get_edge_boxes(image, max_boxes=500, edge_threshold=None, min_side=16,
     scores = _score_boxes(cands, sums, gboxes)
     keep = _nms(cands, scores, max_out=max_boxes)
     boxes = _tighten(cands[keep], sums, gboxes)
+    kept_scores = scores[keep]
+    # Tightening can snap distinct candidates onto the same group bbox;
+    # drop exact duplicates (keep the best-scored instance).
+    _, first = np.unique(boxes, axis=0, return_index=True)
+    first = np.sort(first)
+    boxes, kept_scores = boxes[first], kept_scores[first]
+    order = np.argsort(-kept_scores, kind="stable")
+    boxes, kept_scores = boxes[order], kept_scores[order]
     boxes = boxes / np.array([h, w, h, w], np.float32)
-    return boxes.astype(np.float32), scores[keep].astype(np.float32)
+    return boxes.astype(np.float32), kept_scores.astype(np.float32)
 
 
 def _tighten(boxes, group_sums, group_boxes, min_share=0.05):

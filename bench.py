@@ -23,10 +23,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Measured floor: this exact train step (f32, identical shapes) on the
-# host CPU backend — `python bench.py --cpu_baseline` reproduces it.
-# See BASELINE.md §throughput for the measurement and the TF-CPU
-# reasoning. The reference publishes no throughput numbers (SURVEY §6).
-BASELINE_MEASURED_CPU_IMAGES_PER_SEC = 0.0326  # measured 2026-08-16
+# host CPU backend — `python bench.py --cpu_baseline` reproduces it AND
+# refreshes BASELINE_CPU.json with this machine's number; the TPU run
+# prefers that file so the ratio always compares against a floor measured
+# on the same host. See BASELINE.md §throughput for the derivation. The
+# reference publishes no throughput numbers (SURVEY §6).
+BASELINE_MEASURED_CPU_IMAGES_PER_SEC = 0.0326  # measured 2026-08-16, host 'vm'
+BASELINE_CPU_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json"
+)
+
+
+def _load_cpu_baseline():
+    """Returns (images_per_sec, source_string) for the vs_baseline ratio."""
+    try:
+        with open(BASELINE_CPU_FILE) as fid:
+            rec = json.load(fid)
+        return float(rec["value"]), "BASELINE_CPU.json (host %s, %s)" % (
+            rec.get("host", "?"), rec.get("date", "?")
+        )
+    except (OSError, ValueError, KeyError):
+        return (
+            BASELINE_MEASURED_CPU_IMAGES_PER_SEC,
+            "built-in constant (host 'vm', 2026-08-16); run "
+            "`python bench.py --cpu_baseline` to measure this machine",
+        )
 
 BATCH = 2
 CANVAS_HW = (1024, 1536)
@@ -135,26 +156,30 @@ def main():
     )
     images_per_sec = BATCH / per_step
     if args.cpu_baseline:
-        print(
-            json.dumps(
-                {
-                    "metric": "cap2det_train_images_per_sec_cpu_f32",
-                    "value": round(images_per_sec, 4),
-                    "unit": "images/sec",
-                    "note": "measured baseline floor; see BASELINE.md",
-                }
-            )
-        )
+        import datetime
+        import socket
+
+        record = {
+            "metric": "cap2det_train_images_per_sec_cpu_f32",
+            "value": round(images_per_sec, 4),
+            "unit": "images/sec",
+            "host": socket.gethostname(),
+            "date": datetime.date.today().isoformat(),
+            "note": "measured baseline floor; see BASELINE.md",
+        }
+        with open(BASELINE_CPU_FILE, "w") as fid:
+            json.dump(record, fid)
+        print(json.dumps(record))
         return
+    baseline_value, baseline_source = _load_cpu_baseline()
     print(
         json.dumps(
             {
                 "metric": "cap2det_train_images_per_sec_per_chip",
                 "value": round(images_per_sec, 4),
                 "unit": "images/sec",
-                "vs_baseline": round(
-                    images_per_sec / BASELINE_MEASURED_CPU_IMAGES_PER_SEC, 2
-                ),
+                "vs_baseline": round(images_per_sec / baseline_value, 2),
+                "baseline_source": baseline_source,
             }
         )
     )

@@ -343,6 +343,13 @@ class Preprocess(Config):
     random_saturation_prob: float = scalar(float, 0.0)
     random_saturation_lower: float = scalar(float, 0.8)
     random_saturation_upper: float = scalar(float, 1.2)
+    # NON-REFERENCE EXTENSION. The reference's cap2det reader only runs
+    # the flip-only v2 preprocess path (core/preprocess.py:56-78,
+    # readers/cap2det_reader.py:91) and silently IGNORES the photometric
+    # knobs above. This framework refuses photometric knobs on the
+    # cap2det reader unless this opt-in is set — see the deviation table
+    # in README.md.
+    enable_photometric_augmentation: bool = scalar(bool, False)
 
 
 @dataclass

@@ -4,8 +4,13 @@ Implements the reference's full augmentation set (core/preprocess.py):
 the v2 path used by the detection reader returns the flip decision so
 boxes stay consistent (:56-78, handled inside data/pipeline.py); the v1
 photometric path (:81-148) — brightness, contrast, hue, saturation,
-random crop — is reproduced here with tf.image-compatible semantics and
-applied whenever the Preprocess config sets nonzero probabilities.
+random crop — is reproduced here with tf.image-compatible semantics.
+
+The reference's cap2det reader never calls the v1 chain
+(readers/cap2det_reader.py:91 only uses the flip-only v2 path), so the
+detection pipeline REFUSES photometric knobs unless the non-reference
+`enable_photometric_augmentation` opt-in is set (see data/pipeline.py and
+the README deviation table).
 
 Note the reference applies the v1 crop without adjusting boxes, so like
 there, the crop is only sound for image-level training.
@@ -14,6 +19,21 @@ there, the crop is only sound for image-level training.
 from __future__ import annotations
 
 import numpy as np
+
+
+def has_photometric(options):
+    """True when any v1 photometric probability is nonzero."""
+    if options is None:
+        return False
+    return any(
+        getattr(options, name) > 0
+        for name in (
+            "random_brightness_prob",
+            "random_contrast_prob",
+            "random_hue_prob",
+            "random_saturation_prob",
+        )
+    )
 
 
 def random_brightness(image, max_delta, rng):

@@ -290,6 +290,24 @@ class InputPipeline:
                 "(the reference's v2 preprocess path is flip-only)"
             )
 
+        if options.preprocess_options is not None:
+            from cap2det_tpu.data import augment as _augment
+
+            if (_augment.has_photometric(options.preprocess_options)
+                    and not options.preprocess_options
+                    .enable_photometric_augmentation):
+                # Same convention as random_crop above: the reference's
+                # cap2det reader only runs the flip-only v2 preprocess
+                # (core/preprocess.py:56-78) and would silently IGNORE
+                # these knobs. Refuse rather than diverge silently; the
+                # chain is available behind the documented opt-in.
+                raise ValueError(
+                    "photometric preprocess options are ignored by the "
+                    "reference's cap2det reader (flip-only v2 path); set "
+                    "enable_photometric_augmentation: true to opt in to "
+                    "this framework's extension"
+                )
+
         self._scales = list(options.batch_resize_scale_value) or [1.0]
         self._shard = None
         if options.shard_indicator:
@@ -518,7 +536,12 @@ class InputPipeline:
         flip_prob = 0.0
         if opt.is_training and opt.preprocess_options is not None:
             flip_prob = opt.preprocess_options.random_flip_left_right_prob
-        photometric = opt.is_training and opt.preprocess_options is not None
+        from cap2det_tpu.data import augment as _augment
+
+        photometric = (
+            opt.is_training
+            and _augment.has_photometric(opt.preprocess_options)
+        )
         bucket_counts = {}
         bucket_scale = {}
 

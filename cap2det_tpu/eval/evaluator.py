@@ -19,7 +19,6 @@ the reference applies, train/predict.py:377-415).
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time
@@ -307,6 +306,14 @@ def continuous_evaluation(
     model_dir = model_dir or pipeline_config.model_dir
     model = registry.build(pipeline_config.model, is_training=False)
     saved_dir = os.path.join(model_dir, "saved_ckpts")
+    # Eval curves to TensorBoard beside the trainer's (reference
+    # train/predict.py:491-496 writes per-iteration mAP/CorLoc summaries);
+    # JSONL twin stays in eval_metrics.jsonl.
+    from cap2det_tpu.train.metrics import MetricsWriter
+
+    writer = MetricsWriter(
+        model_dir, jsonl_name="eval_metrics.jsonl", tb_name="tb_eval"
+    )
     evaluated = set()
     idle = 0
     best = None
@@ -322,6 +329,7 @@ def continuous_evaluation(
         if step is None or step in evaluated or step < min_eval_steps:
             idle += 1
             if max_idle_polls is not None and idle > max_idle_polls:
+                writer.close()
                 return best
             time.sleep(poll_interval_secs)
             continue
@@ -342,6 +350,7 @@ def continuous_evaluation(
             visualize_fn = lambda ex, res: report.add_example(  # noqa: E731
                 ex, res, final_iter
             )
+        eval_start = time.time()
         metrics, map_per_iter = run_evaluation(
             pipeline_config,
             params,
@@ -352,23 +361,31 @@ def continuous_evaluation(
             evaluator_kind=evaluator_kind,
             predictor=predictor,
         )
+        # Wall time per checkpoint: if this exceeds the trainer's
+        # save_checkpoints_steps cadence the daemon silently skips
+        # checkpoints and degrades best-ckpt selection — keep it visible.
+        metrics["eval/seconds_per_checkpoint"] = time.time() - eval_start
         if report is not None:
             report.write(
                 os.path.join(model_dir, "eval_report_%d.html" % step)
             )
         final_map = map_per_iter[-1]
-        log.info("step %d mAP per iter: %s", step, map_per_iter)
+        log.info("step %d mAP per iter: %s (%.1fs)", step, map_per_iter,
+                 metrics["eval/seconds_per_checkpoint"])
         write_csv_report(
             os.path.join(model_dir, "eval_report_%d.csv" % step), metrics
         )
-        with open(os.path.join(model_dir, "eval_metrics.jsonl"), "a") as fid:
-            fid.write(json.dumps({"step": int(step), **{
-                k: float(v) for k, v in metrics.items()
-                if isinstance(v, (int, float, np.floating))
-            }}) + "\n")
+        writer.write(step, {
+            k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float, np.floating))
+        })
         ckpt_lib.save_model_if_it_is_better(
             step, final_map, path, saved_dir
         )
         evaluated.add(step)
+        # Ties keep the LATEST step here; save_model_if_it_is_better uses
+        # a strict > and keeps the earliest. Both are defensible; the
+        # return value is informational while saved_ckpts/ is the durable
+        # artifact, so the mismatch is harmless.
         if best is None or final_map >= best[1]:
             best = (step, final_map)

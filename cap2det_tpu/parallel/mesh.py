@@ -32,8 +32,23 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Places a pytree of host arrays with batch-axis sharding."""
+    """Places a pytree of host arrays with batch-axis sharding.
+
+    Single-process: ``device_put`` with the global sharding. Multi-process:
+    each process passes its HOST-LOCAL batch, which becomes this process's
+    slice of the global batch (global batch = per-process batch x
+    process_count) via ``make_array_from_process_local_data`` —
+    ``device_put`` would wrongly treat every local array as the whole
+    global batch and silently train on duplicated data.
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -13,14 +13,18 @@ import time
 
 
 class MetricsWriter:
-    def __init__(self, model_dir):
+    def __init__(self, model_dir, jsonl_name="metrics.jsonl", tb_name="tb"):
+        """Writes scalars to <model_dir>/<jsonl_name> and TB events to
+        <model_dir>/<tb_name>. The evaluator daemon uses a second instance
+        with its own file names so train and eval curves live side by side
+        in one TensorBoard (reference train/predict.py:491-496)."""
         os.makedirs(model_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(model_dir, "metrics.jsonl"), "a")
+        self._jsonl = open(os.path.join(model_dir, jsonl_name), "a")
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter  # cpu torch is baked in
 
-            self._tb = SummaryWriter(log_dir=os.path.join(model_dir, "tb"))
+            self._tb = SummaryWriter(log_dir=os.path.join(model_dir, tb_name))
         except Exception:
             self._tb = None
 

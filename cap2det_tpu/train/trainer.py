@@ -196,7 +196,21 @@ def train(
     mesh = None
     batch_size = reader.cap2det_reader.batch_size
     n_devices = len(jax.devices())
-    if use_mesh and n_devices > 1:
+    if use_mesh and n_devices > 1 and jax.process_count() > 1:
+        # Multi-host: the reader's batch_size is PER PROCESS; every host
+        # feeds its local slice of the global batch (shard_batch uses
+        # make_array_from_process_local_data). Distinct data per host
+        # comes from train_reader.shard_indicator or per-host seeds.
+        local = jax.local_device_count()
+        if batch_size % local != 0:
+            raise ValueError(
+                "multi-host training needs per-process batch_size (%d) "
+                "divisible by the local device count (%d)"
+                % (batch_size, local)
+            )
+        mesh = mesh_lib.create_mesh()
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+    elif use_mesh and n_devices > 1:
         usable = mesh_lib.usable_device_count(batch_size)
         if usable > 1:
             if usable < n_devices:

@@ -108,7 +108,27 @@ new_state, logs = sharded_step(state, batch, rng0)
 # grad = pmean over shards of mean(x) = mean([0,1,2,3]) = 1.5; update -1.5.
 w = float(np.asarray(jax.device_get(new_state["params"]["w"])))
 assert abs(w + 1.5) < 1e-6, w
-print("proc %%d ok total=%%.1f w=%%.2f" %% (local, total, w), flush=True)
+
+# The trainer's own placement helper: each process hands shard_batch its
+# HOST-LOCAL batch and the result must be the distinct global batch (not
+# the local batch replicated) — the mesh_lib.shard_batch multi-process
+# branch via make_array_from_process_local_data.
+state2 = {
+    "params": {"w": jnp.zeros(())},
+    "opt_state": tx.init({"w": jnp.zeros(())}),
+    "step": jnp.zeros((), jnp.int32),
+}
+state2 = jax.device_put(state2, NamedSharding(mesh, P()))
+local_batch = {
+    "x": np.asarray([2.0 * local, 2.0 * local + 1.0], np.float32)[:, None]
+}
+batch2 = mesh_lib.shard_batch(mesh, local_batch)
+assert batch2["x"].shape == (4, 1), batch2["x"].shape  # global, not local
+new_state2, _ = sharded_step(state2, batch2, rng0)
+w2 = float(np.asarray(jax.device_get(new_state2["params"]["w"])))
+assert abs(w2 + 1.5) < 1e-6, w2
+print("proc %%d ok total=%%.1f w=%%.2f w2=%%.2f" %% (local, total, w, w2),
+      flush=True)
 """
 
 
@@ -145,4 +165,4 @@ def test_two_process_psum(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, "proc %d failed:\n%s" % (i, out[-3000:])
-        assert "ok total=6.0 w=-1.50" in out, out[-2000:]
+        assert "ok total=6.0 w=-1.50 w2=-1.50" in out, out[-2000:]

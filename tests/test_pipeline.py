@@ -201,3 +201,17 @@ def test_parallel_map_bounded_on_infinite_stream():
     assert out == [i * 2 for i in range(10)]
     # Bounded in-flight: far fewer consumed than an eager map would.
     assert len(seen) <= 10 + 3 + 2 + 1
+
+
+def test_photometric_requires_opt_in(dataset):
+    record, _ = dataset
+    cfg = _reader(record)
+    pre = cfg.preprocess_options
+    object.__setattr__(pre, "random_brightness_prob", 0.5)
+    with pytest.raises(ValueError, match="enable_photometric_augmentation"):
+        pipeline.InputPipeline(cfg, prefetch=0)
+    # With the documented opt-in the pipeline builds and produces batches.
+    object.__setattr__(pre, "enable_photometric_augmentation", True)
+    pipe = pipeline.InputPipeline(cfg, seed=3, prefetch=0)
+    batch = next(iter(pipe))
+    assert batch[InputFields.image].shape[0] == 2

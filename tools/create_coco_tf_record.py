@@ -5,9 +5,14 @@ Mirrors dataset-tools/create_coco_tf_record.py: joins caption annotations
 boxes with category names, and selective-search proposal .npy files;
 writes round-robin shards (reference: 100 train / 5 val shards).
 
+``--image_dir`` accepts either an extracted directory or the COCO
+distribution zip itself (``train2017.zip``): like the reference
+(dataset-tools/create_coco_tf_record.py:79-87), images are streamed
+straight out of the zip without extraction.
+
 Usage:
   python tools/create_coco_tf_record.py \
-      --image_dir train2017/ \
+      --image_dir train2017.zip \
       --caption_annotations_file annotations/captions_train2017.json \
       --instance_annotations_file annotations/instances_train2017.json \
       --proposal_data_path ss_npy/ \
@@ -51,6 +56,48 @@ def load_annotations(caption_file, instance_file=None):
     return images, captions, instances, categories
 
 
+class ImageSource:
+    """Reads image bytes from an extracted directory or a distribution zip.
+
+    The COCO zips nest files under a split directory ("train2017/...jpg")
+    while the annotation ``file_name`` is the bare basename; entries are
+    indexed by basename so both layouts resolve.
+    """
+
+    def __init__(self, path):
+        self._zip = None
+        self._dir = path
+        if os.path.isfile(path) and path.endswith(".zip"):
+            import zipfile
+
+            self._zip = zipfile.ZipFile(path)
+            entries = [n for n in self._zip.namelist() if not n.endswith("/")]
+            self._names = set(entries)
+            self._by_basename = {os.path.basename(n): n for n in entries}
+
+    def read(self, file_name):
+        """Returns the encoded bytes, or None when absent."""
+        if self._zip is not None:
+            name = (
+                file_name
+                if file_name in self._names
+                else self._by_basename.get(os.path.basename(file_name))
+            )
+            if name is None:
+                return None
+            with self._zip.open(name) as fid:
+                return fid.read()
+        path = os.path.join(self._dir, file_name)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as fid:
+            return fid.read()
+
+    def close(self):
+        if self._zip is not None:
+            self._zip.close()
+
+
 def create_records(
     image_dir,
     caption_file,
@@ -63,18 +110,19 @@ def create_records(
     images, captions, instances, categories = load_annotations(
         caption_file, instance_file
     )
+    source = ImageSource(image_dir)
     count = 0
     missing = 0
     with ShardedWriter(output_path, num_shards) as writer:
         for image_id, img in sorted(images.items()):
-            path = os.path.join(image_dir, img["file_name"])
-            if not os.path.exists(path):
+            encoded = source.read(img["file_name"])
+            if encoded is None:
                 missing += 1
                 if missing <= 5:
-                    log.warning("missing image file, skipping: %s", path)
+                    log.warning(
+                        "missing image file, skipping: %s", img["file_name"]
+                    )
                 continue
-            with open(path, "rb") as fid:
-                encoded = fid.read()
             height, width = float(img["height"]), float(img["width"])
 
             boxes, texts, labels = [], [], []
@@ -107,6 +155,7 @@ def create_records(
             count += 1
             if count % 1000 == 0:
                 log.info("wrote %d examples", count)
+    source.close()
     if missing:
         log.warning(
             "skipped %d annotation entries with no image file under the "

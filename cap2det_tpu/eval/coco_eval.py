@@ -64,23 +64,30 @@ def _match_cached(iou, gt_ignore):
     iou = iou[:, gt_order]
     gt_ignore = gt_ignore[gt_order]
 
-    for ti, thr in enumerate(IOU_THRESHOLDS):
-        taken = np.zeros(ng, bool)
-        for d in range(nd):
-            best, best_iou = -1, min(thr, 1.0 - 1e-10)
-            for g in range(ng):
-                if taken[g]:
-                    continue
-                # Once we hold a real match, never downgrade to ignored gts.
-                if best > -1 and not gt_ignore[best] and gt_ignore[g]:
-                    break
-                if iou[d, g] < best_iou:
-                    continue
-                best, best_iou = g, iou[d, g]
-            if best > -1:
-                taken[best] = True
-                matched[ti, d] = True
-                ignored[ti, d] = gt_ignore[best]
+    # Greedy over detections is inherently sequential, but each step is
+    # vectorized across ALL thresholds and gts at once (pycocotools'
+    # triple loop runs T*D*G python iterations; this runs D iterations of
+    # [T, G] numpy ops). Semantics preserved exactly:
+    #   * a detection takes the highest-IoU untaken gt with IoU >= thr,
+    #   * ties go to the LATEST gt in non-ignored-first order (the
+    #     reference loop's `<` keeps updating on equal IoU),
+    #   * ignored gts are only eligible when NO non-ignored gt qualifies
+    #     (the sorted-order break).
+    thrs = np.minimum(IOU_THRESHOLDS, 1.0 - 1e-10)[:, None]  # [T, 1]
+    taken = np.zeros((nth, ng), bool)
+    for d in range(nd):
+        qualifies = ~taken & (iou[d][None, :] >= thrs)  # [T, G]
+        cand_real = qualifies & ~gt_ignore[None, :]
+        cand_ign = qualifies & gt_ignore[None, :]
+        use_real = cand_real.any(axis=1)  # [T]
+        cand = np.where(use_real[:, None], cand_real, cand_ign)
+        any_cand = cand.any(axis=1)
+        vals = np.where(cand, iou[d][None, :], -1.0)
+        best = ng - 1 - np.argmax(vals[:, ::-1], axis=1)  # last argmax
+        rows = np.nonzero(any_cand)[0]
+        taken[rows, best[rows]] = True
+        matched[:, d] = any_cand
+        ignored[rows, d] = gt_ignore[best[rows]]
     return matched, ignored
 
 

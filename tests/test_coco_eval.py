@@ -153,3 +153,50 @@ def test_evaluator_dispatch():
         evaluator_lib.build_detection_evaluators(
             _FakeModel(), evaluator_kind="nope"
         )
+
+
+def test_vectorized_match_equals_reference_loop():
+    """Randomized differential test: the vectorized greedy matcher must
+    reproduce the literal pycocotools-semantics triple loop bit for bit
+    (including equal-IoU tie handling and the ignored-gt break rule)."""
+    from cap2det_tpu.eval.coco_eval import IOU_THRESHOLDS, _match_cached
+
+    def reference_match(iou, gt_ignore):
+        nth = len(IOU_THRESHOLDS)
+        nd, ng = iou.shape
+        matched = np.zeros((nth, nd), bool)
+        ignored = np.zeros((nth, nd), bool)
+        if nd == 0 or ng == 0:
+            return matched, ignored
+        order = np.argsort(gt_ignore, kind="stable")
+        iou = iou[:, order]
+        gt_ignore = gt_ignore[order]
+        for ti, thr in enumerate(IOU_THRESHOLDS):
+            taken = np.zeros(ng, bool)
+            for d in range(nd):
+                best, best_iou = -1, min(thr, 1.0 - 1e-10)
+                for g in range(ng):
+                    if taken[g]:
+                        continue
+                    if best > -1 and not gt_ignore[best] and gt_ignore[g]:
+                        break
+                    if iou[d, g] < best_iou:
+                        continue
+                    best, best_iou = g, iou[d, g]
+                if best > -1:
+                    taken[best] = True
+                    matched[ti, d] = True
+                    ignored[ti, d] = gt_ignore[best]
+        return matched, ignored
+
+    rng = np.random.RandomState(0)
+    for trial in range(50):
+        nd = rng.randint(0, 8)
+        ng = rng.randint(0, 6)
+        # Quantized IoUs make equal-value ties common.
+        iou = rng.randint(0, 12, (nd, ng)) / 10.0
+        gt_ignore = rng.rand(ng) < 0.4
+        got_m, got_i = _match_cached(iou.copy(), gt_ignore.copy())
+        want_m, want_i = reference_match(iou, gt_ignore)
+        np.testing.assert_array_equal(got_m, want_m, err_msg="trial %d" % trial)
+        np.testing.assert_array_equal(got_i, want_i, err_msg="trial %d" % trial)

@@ -57,6 +57,118 @@ OICR_ITERATIONS = 3
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
+# --shape inc2: the regime of the reference's best published number
+# (voc07_inc2.pbtxt, 50.7 mAP — BASELINE.md): batch 1, min-dim-1000
+# canvas, 2000 selective-search proposals, 20 classes.
+SHAPES = {
+    "bench": dict(batch=2, canvas_hw=(1024, 1536), num_proposals=500,
+                  num_classes=80),
+    "inc2": dict(batch=1, canvas_hw=(1024, 1536), num_proposals=2000,
+                 num_classes=20),
+}
+
+
+def run_e2e(args):
+    """End-to-end throughput: host pipeline (decode/augment/canvas) +
+    host->device transfer + jitted step, with the trainer's device-side
+    double buffering. Also measures the host pipeline alone — the
+    host-bound asymptote — so BENCH_NOTES can state which side limits.
+    """
+    import time
+
+    import jax
+
+    from cap2det_tpu.config import pbtxt, schema
+    from cap2det_tpu.data import pipeline as pipeline_lib
+    from cap2det_tpu.data import synthetic
+    from cap2det_tpu.train import trainer as trainer_lib
+    import cap2det_tpu.models  # noqa: F401
+    import tempfile
+
+    import __graft_entry__ as graft
+
+    work = tempfile.mkdtemp(prefix="bench_e2e_")
+    classes = ["class_%02d" % i for i in range(NUM_CLASSES)]
+    label_file = synthetic.write_label_file(
+        os.path.join(work, "labels.txt"), classes
+    )
+    record = os.path.join(work, "train.record")
+    # COCO-like source sizes; the reader upscales onto the min-dim canvas.
+    synthetic.write_synthetic_dataset(
+        record, num_examples=24, seed=0, classes=classes,
+        image_hw=(480, 640), num_proposals=NUM_PROPOSALS,
+    )
+
+    reader_text = """
+      cap2det_reader {
+        input_pattern: "%s"
+        is_training: true
+        shuffle_buffer_size: 8
+        batch_size: %d
+        image_resizer {
+          keep_aspect_ratio_resizer { min_dimension: %d }
+        }
+        preprocess_options { random_flip_left_right_prob: 0.5 }
+        max_num_proposals: %d
+        batch_resize_scale_value: 1.0
+      }
+    """ % (record, BATCH, args.e2e_min_dim, NUM_PROPOSALS)
+    config_text = (
+        "train_reader { %s } model { %s } %s"
+        % (
+            reader_text,
+            (graft._MODEL_PBTXT % label_file).split("model {", 1)[1].rsplit("}", 1)[0],
+            graft._TRAIN_PBTXT,
+        )
+    )
+    cfg = schema.Pipeline.from_dict(pbtxt.parse(config_text))
+    m = cfg.model.cap2det_model
+    object.__setattr__(m, "oicr_iterations", OICR_ITERATIONS)
+    object.__setattr__(m.frcnn_options, "initial_crop_size", 14)
+    object.__setattr__(cfg.train_config, "log_step_count_steps", 10 ** 9)
+
+    # Host-only rate: drive the pipeline alone (same config/seed).
+    pipe = pipeline_lib.build_input_pipeline(cfg.train_reader, seed=1)
+    it = iter(pipe)
+    for _ in range(2):  # warm the decode caches/threads
+        next(it)
+    n_host = 8
+    t0 = time.time()
+    for _ in range(n_host):
+        next(it)
+    host_rate = BATCH * n_host / (time.time() - t0)
+    del it, pipe
+
+    warm, measure = 4, args.measure_steps or 16
+    times = {}
+
+    def hook(step, state, logs):
+        if step == warm or step == warm + measure:
+            jax.block_until_ready(logs)
+            times[step] = time.time()
+
+    trainer_lib.train(
+        cfg, model_dir=None, max_steps=warm + measure, seed=2, hooks=[hook]
+    )
+    e2e_rate = BATCH * measure / (times[warm + measure] - times[warm])
+    print(
+        json.dumps(
+            {
+                "metric": "cap2det_e2e_train_images_per_sec",
+                "value": round(e2e_rate, 4),
+                "unit": "images/sec",
+                "min_dimension": args.e2e_min_dim,
+                "host_pipeline_images_per_sec": round(host_rate, 4),
+                "host_workers": min(
+                    os.cpu_count() or 1, 4
+                ),
+                "note": "e2e = host pipeline + H2D (double-buffered) + "
+                        "jitted step; host_pipeline is the host-bound "
+                        "asymptote on this machine",
+            }
+        )
+    )
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -65,8 +177,36 @@ def main():
         help="Measure the identical train step on the host CPU backend in "
              "f32 (the documented baseline floor) instead of the TPU run.",
     )
+    parser.add_argument(
+        "--e2e", action="store_true",
+        help="Measure END-TO-END training throughput (host pipeline over "
+             "real TFRecords + transfer + step) instead of the "
+             "device-resident step.",
+    )
+    parser.add_argument(
+        "--e2e_min_dim", type=int, default=1000,
+        help="keep-aspect min_dimension for the --e2e run (use a small "
+             "value to demonstrate the compute-bound regime where e2e ~= "
+             "step rate).",
+    )
+    parser.add_argument(
+        "--shape", choices=sorted(SHAPES), default="bench",
+        help="'bench' (batch 2 / P=500 / 80 classes, the driver shape) or "
+             "'inc2' (batch 1 / P=2000 / 20 classes — the voc07_inc2 "
+             "regime of the reference's best published mAP).",
+    )
     parser.add_argument("--measure_steps", type=int, default=None)
     args = parser.parse_args()
+
+    if args.e2e:
+        run_e2e(args)
+        return
+
+    shape = SHAPES[args.shape]
+    batch_size = shape["batch"]
+    canvas_hw = shape["canvas_hw"]
+    num_proposals = shape["num_proposals"]
+    num_classes = shape["num_classes"]
 
     import jax
 
@@ -83,7 +223,7 @@ def main():
     import cap2det_tpu.models  # noqa: F401
     import tempfile
 
-    classes = ["class_%02d" % i for i in range(NUM_CLASSES)]
+    classes = ["class_%02d" % i for i in range(num_classes)]
     label_file = synthetic.write_label_file(
         os.path.join(tempfile.mkdtemp(prefix="bench_"), "labels.txt"), classes
     )
@@ -112,17 +252,17 @@ def main():
     )
 
     rs = np.random.RandomState(0)
-    h, w = CANVAS_HW
-    y0 = rs.uniform(0, 0.5, (BATCH, NUM_PROPOSALS))
-    x0 = rs.uniform(0, 0.5, (BATCH, NUM_PROPOSALS))
+    h, w = canvas_hw
+    y0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
+    x0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
     batch = {
-        "image": rs.uniform(0, 255, (BATCH, h, w, 3)).astype(np.float32),
+        "image": rs.uniform(0, 255, (batch_size, h, w, 3)).astype(np.float32),
         "proposals": np.stack(
-            [y0, x0, y0 + rs.uniform(0.1, 0.5, (BATCH, NUM_PROPOSALS)),
-             x0 + rs.uniform(0.1, 0.5, (BATCH, NUM_PROPOSALS))], -1
+            [y0, x0, y0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals)),
+             x0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals))], -1
         ).astype(np.float32),
-        "num_proposals": np.full((BATCH,), NUM_PROPOSALS, np.int32),
-        "labels": (rs.rand(BATCH, NUM_CLASSES) < 0.05).astype(np.float32),
+        "num_proposals": np.full((batch_size,), num_proposals, np.int32),
+        "labels": (rs.rand(batch_size, num_classes) < 0.05).astype(np.float32),
     }
     batch = jax.device_put(batch)
     step_rng = jax.random.PRNGKey(1)
@@ -139,6 +279,17 @@ def main():
     warm_loss = float(logs["loss/total_loss"])  # forces compile + execution
     assert np.isfinite(warm_loss), warm_loss
 
+    # MFU arithmetic from the compiled program's own cost model (flops
+    # counts each MAC as 2; Pallas custom calls are NOT counted, so this
+    # is a lower bound on real FLOPs).
+    step_flops = None
+    try:
+        cost = train_step.lower(state, batch, step_rng).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            step_flops = float(cost["flops"])
+    except Exception:
+        pass
+
     state_box = {"state": state}
 
     def one_step():
@@ -154,7 +305,7 @@ def main():
         one_step, (), steps=measure_steps,
         sync=lambda logs: float(logs["loss/total_loss"]),
     )
-    images_per_sec = BATCH / per_step
+    images_per_sec = batch_size / per_step
     if args.cpu_baseline:
         import datetime
         import socket
@@ -163,26 +314,38 @@ def main():
             "metric": "cap2det_train_images_per_sec_cpu_f32",
             "value": round(images_per_sec, 4),
             "unit": "images/sec",
+            "shape": args.shape,
             "host": socket.gethostname(),
             "date": datetime.date.today().isoformat(),
             "note": "measured baseline floor; see BASELINE.md",
         }
-        with open(BASELINE_CPU_FILE, "w") as fid:
-            json.dump(record, fid)
+        if args.shape == "bench":  # the floor the driver ratio uses
+            with open(BASELINE_CPU_FILE, "w") as fid:
+                json.dump(record, fid)
         print(json.dumps(record))
         return
-    baseline_value, baseline_source = _load_cpu_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "cap2det_train_images_per_sec_per_chip",
-                "value": round(images_per_sec, 4),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / baseline_value, 2),
-                "baseline_source": baseline_source,
-            }
+    out = {
+        "metric": (
+            "cap2det_train_images_per_sec_per_chip"
+            if args.shape == "bench"
+            else "cap2det_inc2_train_images_per_sec_per_chip"
+        ),
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "shape": args.shape,
+        "step_ms": round(per_step * 1e3, 2),
+    }
+    if step_flops:
+        V5E_BF16_PEAK = 197e12
+        out["tflops_per_step"] = round(step_flops / 1e12, 3)
+        out["mfu_lower_bound"] = round(
+            step_flops / per_step / V5E_BF16_PEAK, 4
         )
-    )
+    if args.shape == "bench":  # the CPU floor was measured at this shape
+        baseline_value, baseline_source = _load_cpu_baseline()
+        out["vs_baseline"] = round(images_per_sec / baseline_value, 2)
+        out["baseline_source"] = baseline_source
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -57,54 +57,124 @@ def _sample_coords(start, end, crop_size, extent):
     return idx, frac, inside
 
 
-def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
-                crop_size, pool_kernel, pool_stride):
-    height, width, cb = feat_ref.shape[1:]
-    p = pl.program_id(2)
-    y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+def _window_tier(width):
+    """Static narrow-path window size, or None when not worthwhile.
 
-    y_idx, y_frac, y_in = _sample_coords(y1, y2, crop_size, height)
-    x_idx, x_frac, x_in = _sample_coords(x1, x2, crop_size, width)
+    The y-pass is the kernel's dominant cost and scales with the width it
+    lerps over. Most selective-search boxes span well under half the
+    canvas, so a ~half-width window (8-aligned relative to `width` for
+    the sublane-slice constraint) covers them; wide boxes take the
+    full-width fallback branch. Measured 1.55x on the forward at bench
+    shapes (BENCH_NOTES.md round 3).
+    """
+    if width < 32:
+        return None
+    target = max(width // 2, 24)
+    win = width - ((width - target) // 8) * 8
+    return win if win < width else None
 
-    # Static unroll: crop_size is small (14) and dynamic vector indexing
-    # does not lower on TPU; each iteration uses pl.ds with a traced start.
-    # tmp is laid out [W, S, CB] so the x-pass dynamic slice lands on
-    # dim 0 (untiled); Mosaic requires sublane-dim dynamic slices to be
-    # 8-aligned, which interpolation offsets are not.
+
+def _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, win, width,
+               crop_size):
+    """Computes the S x S crop of one proposal into crop_ref.
+
+    Static unroll: crop_size is small (14) and dynamic vector indexing
+    does not lower on TPU; each iteration uses pl.ds with a traced start.
+    tmp is laid out [W, S, CB] so the x-pass dynamic slice lands on dim 0
+    (untiled); Mosaic requires sublane-dim dynamic slices to be 8-aligned,
+    which interpolation offsets are not — except the narrow window's x0,
+    which is constructed 8-aligned (pl.multiple_of).
+    """
+    y_idx, y_frac, y_in = ys
+    x_idx, x_frac, x_in = xs
+    full = win == width
     for i in range(crop_size):
-        rows = feat_ref[0, pl.ds(y_idx[i], 2), :, :].astype(jnp.float32)
+        if full:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), :, :].astype(jnp.float32)
+        else:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), pl.ds(x0, win), :].astype(
+                jnp.float32
+            )
         w = y_in[i]
-        tmp_ref[:, i, :] = (
+        tmp_ref[0:win, i, :] = (
             rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
         )
-
     for j in range(crop_size):
-        cols = tmp_ref[pl.ds(x_idx[j], 2), :, :]
+        start = x_idx[j] if full else x_idx[j] - x0
+        cols = tmp_ref[pl.ds(start, 2), :, :]
         w = x_in[j]
         crop_ref[:, j, :] = (
             cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
         )
 
+
+def _narrow_window(x_idx, crop_size, width, window):
+    """(x0 aligned start, narrow-path condition) for one proposal."""
+    x_lo = jnp.minimum(x_idx[0], x_idx[crop_size - 1])
+    x_hi = jnp.maximum(x_idx[0], x_idx[crop_size - 1])
+    x0 = pl.multiple_of(
+        jnp.minimum((x_lo // 8) * 8, width - window), 8
+    )
+    return x0, (x_hi + 2 - x0) <= window
+
+
+def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
+                crop_size, pool_kernel, pool_stride, group, window):
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
     pooled_size = (crop_size - pool_kernel) // pool_stride + 1
-    crop = crop_ref[...]
-    windows = crop.reshape(pooled_size, pool_kernel, pooled_size, pool_kernel, cb)
-    out_ref[0, 0, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(out_ref.dtype)
+    for g in range(group):
+        p = p_base + g
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+
+        ys = _sample_coords(y1, y2, crop_size, height)
+        xs = _sample_coords(x1, x2, crop_size, width)
+        x_idx = xs[0]
+
+        if window is None:
+            _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                       width, crop_size)
+        else:
+            x0, narrow = _narrow_window(x_idx, crop_size, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, window,
+                           width, crop_size)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                           width, crop_size)
+
+        crop = crop_ref[...]
+        windows = crop.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+        )
+        out_ref[0, g, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(
+            out_ref.dtype
+        )
 
 
-def _interp_matrix(start, end, crop_size, extent):
-    """Dense [crop_size, extent] bilinear interpolation matrix.
+def _interp_matrix(start, end, crop_size, extent, offset=None, out_cols=None):
+    """Dense [crop_size, out_cols] bilinear interpolation matrix.
 
     Row i holds the two-tap lerp weights of `_sample_coords` at positions
     idx[i] and idx[i]+1 — crop = W_y @ F @ W_x^T. Built with pure vector
     ops (iota + compares): no scalar reads of vectors, no dynamic slices.
+    With `offset`/`out_cols`, column j of the matrix corresponds to the
+    feature column offset + j (the narrow-window backward).
     """
+    out_cols = extent if out_cols is None else out_cols
     h_max = extent - 1
-    i = jax.lax.broadcasted_iota(jnp.int32, (crop_size, extent), 0).astype(
+    i = jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 0).astype(
         jnp.float32
     )
-    pos = jax.lax.broadcasted_iota(jnp.int32, (crop_size, extent), 1).astype(
+    pos = jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 1).astype(
         jnp.float32
     )
+    if offset is not None:
+        pos = pos + offset.astype(jnp.float32)
     if crop_size > 1:
         coords = start * h_max + i * (end - start) * h_max / (crop_size - 1)
     else:
@@ -119,10 +189,11 @@ def _interp_matrix(start, end, crop_size, extent):
 
 
 def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
-                *, crop_size, pool_kernel, pool_stride):
+                *, crop_size, pool_kernel, pool_stride, group, window):
     """Backward: interp-matrix matmul for the x-scatter, sparse rows for dF.
 
-    The x-direction bilinear scatter is one small matmul landing directly
+    Processes `group` proposals per program (see _fwd_kernel). The
+    x-direction bilinear scatter is one small matmul landing directly
     in dtmp's [W, S, CB] layout with no transposes:
       dtmp[w, sy, c] = sum_j Wx[j, w] * dcrop[sy, j, c]
                      = dot_general(Wx, dcrop; contract Wx.0 with dcrop.1)
@@ -132,78 +203,221 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
     (measured no faster than the original all-scatter kernel).
     """
     height, width, cb = feat_ref.shape[1:]
-    p = pl.program_id(2)
+    p_base = pl.program_id(2) * group
+    pooled_size = (crop_size - pool_kernel) // pool_stride + 1
 
-    @pl.when(p == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
 
-    y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-    y_idx, y_frac, y_in = _sample_coords(y1, y2, crop_size, height)
-    x_idx, x_frac, x_in = _sample_coords(x1, x2, crop_size, width)
+    for gi in range(group):
+        p = p_base + gi
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+        ys = _sample_coords(y1, y2, crop_size, height)
+        xs = _sample_coords(x1, x2, crop_size, width)
+        y_idx, y_frac, y_in = ys
+        x_idx = xs[0]
 
-    # Recompute the crop (same as forward; tmp laid out [W, S, CB]).
-    for i in range(crop_size):
-        rows = feat_ref[0, pl.ds(y_idx[i], 2), :, :].astype(jnp.float32)
-        w = y_in[i]
-        tmp_ref[:, i, :] = (
-            rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
+        def _scatter(dcrop, x1=x1, x2=x2, y_idx=y_idx, y_frac=y_frac,
+                     y_in=y_in):
+            """Pushes dcrop back: one x-interp matmul, then a sparse
+            2-row y-scatter. Always FULL width: a windowed x variant
+            (pl.ds(x0, win) on dfeat's sublane dim) measured SLOWER —
+            dynamic-offset sublane RMW writes cost more than the saved
+            lanes. A y-interp matmul into a 32-row strip (or full H) with
+            one strip RMW also measured SLOWER (fwdbwd 24.5 vs 19.4 ms) —
+            third confirmation that dense y-matmuls lose to the sparse
+            2-row scatter here. BENCH_NOTES.md round 3.
+            """
+            wx = _interp_matrix(x1, x2, crop_size, width)  # [S, W]
+            dtmp = jax.lax.dot_general(
+                wx, dcrop,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W, S, CB]
+            for i in range(crop_size):
+                w = y_in[i]
+                row = dtmp[:, i, :]  # [W, CB]
+                contrib = jnp.stack(
+                    [row * ((1.0 - y_frac[i]) * w), row * (y_frac[i] * w)],
+                    axis=0,
+                )  # [2, W, CB]
+                dfeat_ref[0, pl.ds(y_idx[i], 2), :, :] += contrib
+
+        # Recompute the crop (same windowed branch as the forward).
+        if window is None:
+            _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                       width, crop_size)
+        else:
+            x0, narrow = _narrow_window(x_idx, crop_size, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, window,
+                           width, crop_size)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                           width, crop_size)
+
+        # Route pooled gradient to the FIRST max only (TF MaxPoolGrad
+        # semantics). A plain `windows >= maxima` mask sends the full
+        # gradient to every tied element — and ties are common (post-ReLU
+        # zeros, degenerate boxes), inflating dF by up to pool_kernel^2.
+        crop = crop_ref[...]
+        windows = crop.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+        )
+        maxima = jnp.max(windows, axis=(1, 3))  # [ps, ps, cb]
+        g = grad_ref[0, gi, :, :, :].astype(jnp.float32)
+        taken = jnp.zeros_like(maxima, dtype=jnp.float32)
+        pieces = {}
+        for ky in range(pool_kernel):
+            for kx in range(pool_kernel):
+                hit = (
+                    (windows[:, ky, :, kx, :] >= maxima).astype(jnp.float32)
+                    * (1.0 - taken)
+                )
+                pieces[(ky, kx)] = g * hit
+                taken = jnp.maximum(taken, hit)
+        dwindows = jnp.stack(
+            [
+                jnp.stack(
+                    [pieces[(ky, kx)] for kx in range(pool_kernel)], axis=2
+                )
+                for ky in range(pool_kernel)
+            ],
+            axis=1,
+        )  # [ps, k, ps, k, cb]
+        dcrop = dwindows.reshape(crop_size, crop_size, cb)
+
+        _scatter(dcrop)
+
+
+def _fwd_kernel_mm(boxes_ref, feat_ref, out_ref, tmp_ref, *,
+                   crop_size, pool_kernel, pool_stride, group):
+    """Matmul formulation: crop = Wy @ F @ Wx^T with the y-interpolation
+    of `group` proposals CONCATENATED into one [group*S, H] matrix — the
+    MXU M dimension becomes group*S (112 at S=14, group=8) instead of the
+    lane-wasting S=14 that made the round-2 per-proposal matmul variant
+    2-4x slower than dynamic slices. No dynamic slices remain at all.
+    """
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    pooled_size = (s - pool_kernel) // pool_stride + 1
+
+    coords = [
+        tuple(boxes_ref[0, k, p_base + g] for k in range(4))
+        for g in range(group)
+    ]
+    wy_cat = jnp.concatenate(
+        [_interp_matrix(c[0], c[2], s, height) for c in coords], axis=0
+    )  # [G*S, H]
+    feat = feat_ref[0]  # [H, W, CB]
+    tmp_ref[...] = jax.lax.dot_general(
+        wy_cat, feat.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(tmp_ref.dtype)  # [G*S, W, CB]
+
+    for g in range(group):
+        wx = _interp_matrix(coords[g][1], coords[g][3], s, width)  # [S, W]
+        crop_t = jax.lax.dot_general(
+            wx, tmp_ref[g * s:(g + 1) * s],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_x, S_y, CB] — transposed spatial axes
+        windows = crop_t.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+        )
+        pooled_t = jnp.max(windows, axis=(1, 3))  # [ps_x, ps_y, cb]
+        out_ref[0, g, :, :, :] = jnp.swapaxes(pooled_t, 0, 1).astype(
+            out_ref.dtype
         )
 
-    for j in range(crop_size):
-        cols = tmp_ref[pl.ds(x_idx[j], 2), :, :]
-        w = x_in[j]
-        crop_ref[:, j, :] = (
-            cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
+
+def _bwd_kernel_mm(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
+                   dtmp_ref, *, crop_size, pool_kernel, pool_stride, group):
+    """Matmul backward: recompute crops via the grouped Wy matmul, route
+    the pooled gradient through the first-tie max mask, then push it back
+    with one small per-proposal x-dot (M=W) and ONE concatenated
+    y-scatter matmul dF += Wy_cat^T-contraction (M=H, K=group*S) instead
+    of 14 read-modify-write row scatters per proposal."""
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    pooled_size = (s - pool_kernel) // pool_stride + 1
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    coords = [
+        tuple(boxes_ref[0, k, p_base + g] for k in range(4))
+        for g in range(group)
+    ]
+    wy_cat = jnp.concatenate(
+        [_interp_matrix(c[0], c[2], s, height) for c in coords], axis=0
+    )  # [G*S, H]
+    feat = feat_ref[0]
+    tmp_ref[...] = jax.lax.dot_general(
+        wy_cat, feat.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(tmp_ref.dtype)  # [G*S, W, CB]
+
+    for g in range(group):
+        wx = _interp_matrix(coords[g][1], coords[g][3], s, width)  # [S, W]
+        crop_t = jax.lax.dot_general(
+            wx, tmp_ref[g * s:(g + 1) * s],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_x, S_y, CB]
+        windows = crop_t.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
         )
+        maxima = jnp.max(windows, axis=(1, 3))  # [ps_x, ps_y, cb]
+        g_t = jnp.swapaxes(
+            grad_ref[0, g, :, :, :], 0, 1
+        ).astype(jnp.float32)  # [ps_x, ps_y, cb]
+        # First-tie routing in the ORIGINAL [y, x] window order (TF
+        # MaxPoolGrad): original window slot (ky, kx) sits at
+        # windows[:, kx, :, ky, :] in this transposed layout.
+        taken = jnp.zeros_like(maxima, dtype=jnp.float32)
+        pieces = {}
+        for ky in range(pool_kernel):
+            for kx in range(pool_kernel):
+                hit = (
+                    (windows[:, kx, :, ky, :] >= maxima).astype(jnp.float32)
+                    * (1.0 - taken)
+                )
+                pieces[(ky, kx)] = g_t * hit
+                taken = jnp.maximum(taken, hit)
+        dwindows = jnp.stack(
+            [
+                jnp.stack(
+                    [pieces[(ky, kx)] for ky in range(pool_kernel)], axis=2
+                )
+                for kx in range(pool_kernel)
+            ],
+            axis=1,
+        )  # [ps_x, kx, ps_y, ky, cb]
+        dcrop_t = dwindows.reshape(s, s, cb)  # [S_x, S_y, CB]
+        # dtmp[w, s_y, c] = sum_{s_x} Wx[s_x, w] * dcrop_t[s_x, s_y, c]
+        dtmp_ref[:, g * s:(g + 1) * s, :] = jax.lax.dot_general(
+            wx, dcrop_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtmp_ref.dtype)  # [W, S_y, CB]
 
-    # Route pooled gradient to the FIRST max only (TF MaxPoolGrad
-    # semantics). A plain `windows >= maxima` mask sends the full
-    # gradient to every tied element — and ties are common (post-ReLU
-    # zeros, degenerate boxes), inflating dF by up to pool_kernel^2.
-    pooled_size = (crop_size - pool_kernel) // pool_stride + 1
-    crop = crop_ref[...]
-    windows = crop.reshape(pooled_size, pool_kernel, pooled_size, pool_kernel, cb)
-    maxima = jnp.max(windows, axis=(1, 3))  # [ps, ps, cb]
-    g = grad_ref[0, 0, :, :, :].astype(jnp.float32)
-    taken = jnp.zeros_like(maxima, dtype=jnp.float32)
-    pieces = {}
-    for ky in range(pool_kernel):
-        for kx in range(pool_kernel):
-            hit = (
-                (windows[:, ky, :, kx, :] >= maxima).astype(jnp.float32)
-                * (1.0 - taken)
-            )
-            pieces[(ky, kx)] = g * hit
-            taken = jnp.maximum(taken, hit)
-    dwindows = jnp.stack(
-        [
-            jnp.stack([pieces[(ky, kx)] for kx in range(pool_kernel)], axis=2)
-            for ky in range(pool_kernel)
-        ],
-        axis=1,
-    )  # [ps, k, ps, k, cb]
-    dcrop = dwindows.reshape(crop_size, crop_size, cb)
-
-    wx = _interp_matrix(x1, x2, crop_size, width)  # [S, W]
-
-    dtmp = jax.lax.dot_general(
-        wx, dcrop,
+    # dF[h, w, c] += sum_{gs} Wy_cat[gs, h] * dtmp[w, gs, c]
+    dfeat_ref[0] += jax.lax.dot_general(
+        wy_cat, dtmp_ref[...],
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [W, S, CB]
-
-    # dF: scatter dtmp rows back through the y-lerp. Sparse 2-row updates
-    # beat a dense Wy^T matmul here: the latter read-modify-writes the
-    # whole [H, W, CB] dfeat block per proposal (measured no faster than
-    # the original all-scatter kernel).
-    for i in range(crop_size):
-        w = y_in[i]
-        row = dtmp[:, i, :]  # [W, CB]
-        contrib = jnp.stack(
-            [row * ((1.0 - y_frac[i]) * w), row * (y_frac[i] * w)], axis=0
-        )  # [2, W, CB]
-        dfeat_ref[0, pl.ds(y_idx[i], 2), :, :] += contrib
+    )  # [H, W, CB]
 
 
 def _pad_channels(x, cb):
@@ -216,8 +430,20 @@ def _pad_channels(x, cb):
     return x
 
 
+def _pad_proposals(boxes, group):
+    """Pads the proposal axis to a multiple of `group` with zero boxes
+    (they crop the top-left 1x1 cell; their outputs are sliced away and,
+    in the backward, their incoming gradient is zero-padded so they
+    contribute nothing to dF)."""
+    num_p = boxes.shape[1]
+    pad = (-num_p) % group
+    if pad:
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+    return boxes
+
+
 def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
-             channel_block, interpret):
+             channel_block, interpret, group):
     if features.shape[1] < 2 or features.shape[2] < 2:
         # _sample_coords clamps to [0, extent-2]; extent 1 would produce
         # a -1 dynamic-slice start (out-of-bounds read). Fail loudly —
@@ -229,18 +455,22 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
     orig_channels = features.shape[-1]
     features = _pad_channels(features, channel_block)
     batch, height, width, channels = features.shape
+    orig_p = boxes.shape[1]
+    boxes = _pad_proposals(boxes, group)
     num_p = boxes.shape[1]
     cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
-    grid = (batch, channels // cb, num_p)
+    grid = (batch, channels // cb, num_p // group)
     kernel = functools.partial(
         _fwd_kernel,
         crop_size=crop_size,
         pool_kernel=pool_kernel,
         pool_stride=pool_stride,
+        group=group,
+        window=_window_tier(width),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -249,7 +479,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
+            (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
         ),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_p, pooled, pooled, channels), features.dtype
@@ -259,25 +489,87 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.transpose(boxes, (0, 2, 1)), features)[..., :orig_channels]
+    )(jnp.transpose(boxes, (0, 2, 1)), features)
+    return out[:, :orig_p, :, :, :orig_channels]
 
 
-def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
-              channel_block, interpret):
+def _forward_mm(features, boxes, crop_size, pool_kernel, pool_stride,
+                channel_block, interpret, group):
+    if features.shape[1] < 2 or features.shape[2] < 2:
+        raise ValueError(
+            "roi_crop_maxpool needs a feature map of at least 2x2; got %s"
+            % (features.shape,)
+        )
+    orig_channels = features.shape[-1]
+    features = _pad_channels(features, channel_block)
+    batch, height, width, channels = features.shape
+    orig_p = boxes.shape[1]
+    boxes = _pad_proposals(boxes, group)
+    num_p = boxes.shape[1]
+    cb = channel_block
+    pooled = (crop_size - pool_kernel) // pool_stride + 1
+    # bf16 interpolation intermediates when the features are bf16 (the
+    # training path): halves the VMEM scratch; the dots still accumulate
+    # in f32 via preferred_element_type.
+    tmp_dtype = (
+        jnp.bfloat16 if features.dtype == jnp.bfloat16 else jnp.float32
+    )
+
+    grid = (batch, channels // cb, num_p // group)
+    kernel = functools.partial(
+        _fwd_kernel_mm,
+        crop_size=crop_size,
+        pool_kernel=pool_kernel,
+        pool_stride=pool_stride,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_p, pooled, pooled, channels), features.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group * crop_size, width, cb), tmp_dtype),
+        ],
+        interpret=interpret,
+    )(jnp.transpose(boxes, (0, 2, 1)), features)
+    return out[:, :orig_p, :, :, :orig_channels]
+
+
+def _backward_mm(features, boxes, grad, crop_size, pool_kernel, pool_stride,
+                 channel_block, interpret, group):
     orig_channels = features.shape[-1]
     features = _pad_channels(features, channel_block)
     grad = _pad_channels(grad, channel_block)
     batch, height, width, channels = features.shape
+    boxes = _pad_proposals(boxes, group)
     num_p = boxes.shape[1]
+    if grad.shape[1] != num_p:
+        grad = jnp.pad(
+            grad, ((0, 0), (0, num_p - grad.shape[1]), (0, 0), (0, 0), (0, 0))
+        )
     cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
+    tmp_dtype = (
+        jnp.bfloat16 if features.dtype == jnp.bfloat16 else jnp.float32
+    )
 
-    grid = (batch, channels // cb, num_p)
+    grid = (batch, channels // cb, num_p // group)
     kernel = functools.partial(
-        _bwd_kernel,
+        _bwd_kernel_mm,
         crop_size=crop_size,
         pool_kernel=pool_kernel,
         pool_stride=pool_stride,
+        group=group,
     )
     dfeat = pl.pallas_call(
         kernel,
@@ -287,7 +579,62 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
             pl.BlockSpec(
-                (1, 1, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
+                (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, height, width, cb), lambda b, c, p: (b, 0, 0, c)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, height, width, channels), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group * crop_size, width, cb), tmp_dtype),
+            pltpu.VMEM((width, group * crop_size, cb), tmp_dtype),
+        ],
+        # Blocks + scratch + the f32 dot intermediates exceed the 16MB
+        # default scoped-vmem limit; v5e VMEM is far larger.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(jnp.transpose(boxes, (0, 2, 1)), features, grad)
+    return dfeat[..., :orig_channels].astype(features.dtype)
+
+
+def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
+              channel_block, interpret, group):
+    orig_channels = features.shape[-1]
+    features = _pad_channels(features, channel_block)
+    grad = _pad_channels(grad, channel_block)
+    batch, height, width, channels = features.shape
+    boxes = _pad_proposals(boxes, group)
+    num_p = boxes.shape[1]
+    if grad.shape[1] != num_p:
+        grad = jnp.pad(
+            grad, ((0, 0), (0, num_p - grad.shape[1]), (0, 0), (0, 0), (0, 0))
+        )
+    cb = channel_block
+    pooled = (crop_size - pool_kernel) // pool_stride + 1
+
+    grid = (batch, channels // cb, num_p // group)
+    kernel = functools.partial(
+        _bwd_kernel,
+        crop_size=crop_size,
+        pool_kernel=pool_kernel,
+        pool_stride=pool_stride,
+        group=group,
+        window=_window_tier(width),
+    )
+    dfeat = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
+            pl.BlockSpec(
+                (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -306,41 +653,52 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8)
 )
 def roi_crop_maxpool(features, boxes, crop_size, pool_kernel=2,
-                     pool_stride=2, channel_block=128, interpret=False):
+                     pool_stride=2, channel_block=128, interpret=False,
+                     proposals_per_program=8, impl="slice"):
     """Fused TF-semantics crop_and_resize + max-pool.
 
     Args:
       features: [B, H, W, C] feature map.
       boxes: [B, P, 4] normalized [ymin, xmin, ymax, xmax].
       crop_size: S (pre-pool crop side).
+      proposals_per_program: grid-granularity knob; P is zero-padded to a
+        multiple. With impl="mm" this is also the y-matmul's M-dimension
+        batching factor (8 * S=14 -> M=112, near the MXU's 128 rows).
+      impl: "slice" (2-sparse dynamic-slice lerps — fastest measured;
+        the kernel is VPU-bound, see BENCH_NOTES.md round 3) or "mm"
+        (grouped interp-matrix matmuls at M=group*S; measured 2x slower
+        despite the better MXU shape — recorded negative result).
 
     Returns:
       [B, P, S', S', C] pooled crops, S' = (S - pool_kernel)//pool_stride + 1.
     """
-    return _forward(
+    fwd = _forward_mm if impl == "mm" else _forward
+    return fwd(
         features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
-        interpret,
+        interpret, proposals_per_program,
     )
 
 
 def _fwd(features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
-         interpret):
-    out = _forward(
+         interpret, proposals_per_program, impl):
+    fwd = _forward_mm if impl == "mm" else _forward
+    out = fwd(
         features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
-        interpret,
+        interpret, proposals_per_program,
     )
     return out, (features, boxes)
 
 
 def _bwd(crop_size, pool_kernel, pool_stride, channel_block, interpret,
-         residuals, grad):
+         proposals_per_program, impl, residuals, grad):
     features, boxes = residuals
-    dfeat = _backward(
+    bwd = _backward_mm if impl == "mm" else _backward
+    dfeat = bwd(
         features, boxes, grad, crop_size, pool_kernel, pool_stride,
-        channel_block, interpret,
+        channel_block, interpret, proposals_per_program,
     )
     return dfeat, None  # proposals are data: no box gradient
 

@@ -238,6 +238,10 @@ def preprocess(images):
 def _conv(x, w, stride, compute_dtype):
     # Activations and weights in compute_dtype (bf16 on TPU; the MXU
     # accumulates in fp32 internally); BN runs in fp32 and casts back.
+    if x.shape[-1] > w.shape[2]:
+        # The activation carries lane-padding channels (see _pad_cout):
+        # zero-weight rows make the extra channels contribute nothing.
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]), (0, 0)))
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
@@ -255,11 +259,95 @@ def _bn_relu(x, bn):
     return jax.nn.relu(x).astype(out_dtype)
 
 
-def _conv_bn(params, x, stride, compute_dtype):
-    return _bn_relu(_conv(x, params["weights"], stride, compute_dtype), params["BatchNorm"])
+def _conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
+    w, bn = params["weights"], params["BatchNorm"]
+    if pad_out_to:
+        w, bn = _pad_cout(w, bn, pad_out_to)
+    return _bn_relu(_conv(x, w, stride, compute_dtype), bn)
 
 
-def _sep_conv_bn(params, x, stride, compute_dtype):
+def _pad_cout(w, bn, target):
+    """Zero-pads a conv's output channels (and its BN vectors) to `target`.
+
+    Numerically exact: padded channels produce conv output 0, BN maps it
+    to (0 - 0) * rsqrt(1 + eps) + 0 = 0, and ReLU keeps 0 — so downstream
+    consumers (whose weights are input-zero-padded in `_conv`) see pure
+    zeros. Used to lift the stem's 64-channel stretch to the TPU's
+    128-lane width: a 64-wide last axis occupies half-empty (8,128) tiles
+    in memory ANYWAY, so this costs no bytes and doubles VPU/MXU lane
+    utilization (BENCH_NOTES.md round-3: the stem maxpool was 18x off
+    speed-of-light at 64 lanes).
+    """
+    cout = w.shape[-1]
+    if cout >= target:
+        return w, bn
+    pad = target - cout
+    w = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, pad)])
+    bn = {
+        "beta": jnp.pad(bn["beta"], (0, pad)),
+        "moving_mean": jnp.pad(bn["moving_mean"], (0, pad)),
+        "moving_variance": jnp.pad(
+            bn["moving_variance"], (0, pad), constant_values=1.0
+        ),
+    }
+    return w, bn
+
+
+def _space_to_depth_conv(x, w, stride, compute_dtype):
+    """Stride-2 KxK conv on few channels as a stride-1 conv over 2x2
+    space-to-depth blocks (exact reformulation; the standard TPU trick
+    for the RGB stem, where cin=3 leaves the MXU's contraction dimension
+    127/128 empty — s2d packs 12 channels and quarters the positions).
+    """
+    b, h, w_dim, cin = x.shape
+    kh, kw, _, cout = w.shape
+
+    def _axis(extent, k):
+        """(lead_zero_taps, kernel_blocks, block_pad_lo) for one axis.
+
+        SAME/stride-2 on even extent pads (k-2)//2 pixels before the
+        first tap; output o reads pixel rows 2o - pad_px + u. Prepending
+        `lead = pad_px % 2` zero taps makes the first tap block-aligned:
+        tap u' = u + lead reads row 2(o - (pad_px + lead)/2) + (u' % 2).
+        """
+        pad_px = max(k - 2, 0) // 2
+        lead = pad_px % 2
+        kb = (k + lead + 1) // 2
+        return lead, kb, (pad_px + lead) // 2
+
+    lead_h, kh2, pad_t = _axis(h, kh)
+    lead_w, kw2, pad_l = _axis(w_dim, kw)
+    w8 = jnp.pad(
+        w,
+        (
+            (lead_h, 2 * kh2 - kh - lead_h),
+            (lead_w, 2 * kw2 - kw - lead_w),
+            (0, 0),
+            (0, 0),
+        ),
+    ).astype(compute_dtype)
+    # Tap (2*bi + di) -> phase channel di; matches x2's (di, dj, c) packing.
+    w_s2d = (
+        w8.reshape(kh2, 2, kw2, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(kh2, kw2, 4 * cin, cout)
+    )
+    x2 = (
+        x.astype(compute_dtype)
+        .reshape(b, h // 2, 2, w_dim // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w_dim // 2, 4 * cin)
+    )
+    return jax.lax.conv_general_dilated(
+        x2,
+        w_s2d,
+        window_strides=(1, 1),
+        padding=((pad_t, kh2 - 1 - pad_t), (pad_l, kw2 - 1 - pad_l)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _sep_conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
     dw = params["depthwise_weights"].astype(compute_dtype)
     kh, kw, cin, mult = dw.shape
     pw = params["pointwise_weights"].astype(compute_dtype)
@@ -273,6 +361,13 @@ def _sep_conv_bn(params, x, stride, compute_dtype):
         w_dense = jnp.einsum(
             "uvcm,cmo->uvco", dw, pw.reshape(cin, mult, cout)
         )
+        bn = params["BatchNorm"]
+        if pad_out_to:
+            w_dense, bn = _pad_cout(w_dense, bn, pad_out_to)
+        # NOT the _space_to_depth_conv path: the regrouped conv itself is
+        # 2.2x faster (1.06 vs 2.35 ms at bench shapes) but XLA lowers the
+        # [B,H,W,3] -> [B,H/2,W/2,12] transpose at ~5 ms — a net loss.
+        # Measured negative result, BENCH_NOTES.md round 3.
         out = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
             w_dense,
@@ -280,7 +375,7 @@ def _sep_conv_bn(params, x, stride, compute_dtype):
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return _bn_relu(out, params["BatchNorm"])
+        return _bn_relu(out, bn)
     # Grouped-conv output channels are blocked per input channel
     # (c * mult + m) — TF depthwise ordering; the plain reshape keeps it.
     out = jax.lax.conv_general_dilated(
@@ -459,11 +554,19 @@ def _block(params, spec, x, compute_dtype):
 
 
 def first_stage(params, images, compute_dtype=jnp.bfloat16):
-    """Image [B,H,W,3] (preprocessed) -> Mixed_4e features [B,H/16,W/16,576]."""
+    """Image [B,H,W,3] (preprocessed) -> Mixed_4e features [B,H/16,W/16,576].
+
+    The 64-channel stem stretch runs lane-padded to 128 (exactly-zero
+    extra channels, see _pad_cout): a 64-wide channel axis occupies
+    half-empty (8,128) tiles anyway, and the padded form doubled the
+    measured stem maxpool/conv throughput (BENCH_NOTES.md round 3).
+    Mixed_3b's leading convs absorb the padding via zero weight rows.
+    """
     p = params["InceptionV2"]
-    x = _sep_conv_bn(p["Conv2d_1a_7x7"], images, 2, compute_dtype)
+    x = _sep_conv_bn(p["Conv2d_1a_7x7"], images, 2, compute_dtype,
+                     pad_out_to=128)
     x = _pool(x, "pool_max", 3, 2)
-    x = _conv_bn(p["Conv2d_2b_1x1"], x, 1, compute_dtype)
+    x = _conv_bn(p["Conv2d_2b_1x1"], x, 1, compute_dtype, pad_out_to=128)
     x = _conv_bn(p["Conv2d_2c_3x3"], x, 1, compute_dtype)
     x = _pool(x, "pool_max", 3, 2)
     for name in ["Mixed_3b", "Mixed_3c", "Mixed_4a", "Mixed_4b", "Mixed_4c",

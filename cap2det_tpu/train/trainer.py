@@ -131,6 +131,30 @@ def eval_params(state):
     return state.get("ema", state["params"])
 
 
+def _device_prefetch(host_batches, place, depth=2):
+    """Keeps `depth` placed batches in flight: the NEXT batch's host->
+    device transfer (jax.device_put is asynchronous) is issued while the
+    current step executes, overlapping H2D with compute. The reference
+    only prefetched on the host side (readers/cap2det_reader.py:266);
+    without this the transfer serializes ahead of every step."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(host_batches)
+    try:
+        while len(buf) < depth:
+            buf.append(place(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(place(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def train(
     pipeline_config: schema.Pipeline,
     model_dir=None,
@@ -267,7 +291,13 @@ def train(
         log.info("profiler server on port %d", profiler_port)
     profiling = False
 
-    for host_batch in pipe:
+    def _place(host_batch):
+        batch = model.device_batch(host_batch)
+        if mesh is not None:
+            return mesh_lib.shard_batch(mesh, batch)
+        return jax.device_put(batch)
+
+    for batch in _device_prefetch(pipe, _place, depth=2):
         if step >= max_steps:
             break
         if profile_steps is not None:
@@ -279,10 +309,8 @@ def train(
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info("profiler trace written to %s", profiler_dir)
-        batch = model.device_batch(host_batch)
         rng, step_rng = jax.random.split(rng)
         if mesh is not None:
-            batch = mesh_lib.shard_batch(mesh, batch)
             step_rng = jax.device_put(step_rng, mesh_lib.replicated(mesh))
         state, logs = train_step(state, batch, step_rng)
         step += 1

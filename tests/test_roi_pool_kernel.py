@@ -112,3 +112,46 @@ def test_tied_windows_conserve_gradient_mass():
     )(feat)
     # 2x2 pooled output x 8 channels -> upstream mass 32.
     np.testing.assert_allclose(float(np.sum(np.asarray(g))), 32.0, atol=1e-4)
+
+
+def test_window_tier_branch_matches_xla():
+    """Exercises BOTH the narrow-window fast path and the full-width
+    fallback (wide + reversed + degenerate boxes) on a feature map wide
+    enough to enable the tier (W=48 -> window 24)."""
+    from cap2det_tpu.kernels.roi_pool import _window_tier
+
+    assert _window_tier(48) is not None
+    rng = np.random.RandomState(7)
+    feat = rng.normal(0, 1, (2, 40, 48, 8)).astype(np.float32)
+    narrow = np.stack([
+        rng.uniform(0, 0.5, (2, 6)), rng.uniform(0, 0.7, (2, 6)),
+        rng.uniform(0.5, 1.0, (2, 6)), rng.uniform(0.7, 1.0, (2, 6)) * 0
+    ], -1)
+    narrow[..., 3] = narrow[..., 1] + rng.uniform(0.02, 0.15, (2, 6))
+    wide = np.stack([
+        rng.uniform(0, 0.3, (2, 4)), rng.uniform(0, 0.2, (2, 4)),
+        rng.uniform(0.5, 1.0, (2, 4)), rng.uniform(0.8, 1.0, (2, 4))
+    ], -1)
+    reversed_box = np.array([[[0.8, 0.9, 0.2, 0.1]], [[0.5, 0.6, 0.5, 0.6]]])
+    degenerate = np.zeros((2, 1, 4))
+    boxes = np.concatenate(
+        [narrow, wide, reversed_box, degenerate], axis=1
+    ).astype(np.float32)
+
+    out = roi_pool.roi_crop_maxpool(
+        feat, boxes, 6, 2, 2, channel_block=8, interpret=True
+    )
+    ref = roi_ops.crop_resize_maxpool(feat, boxes, 6, 2, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    gk = jax.grad(
+        lambda f: jnp.sum(
+            roi_pool.roi_crop_maxpool(
+                f, boxes, 6, 2, 2, channel_block=8, interpret=True
+            ) ** 2
+        )
+    )(feat)
+    gr = jax.grad(
+        lambda f: jnp.sum(roi_ops.crop_resize_maxpool(f, boxes, 6, 2, 2) ** 2)
+    )(feat)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-2)

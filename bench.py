@@ -144,7 +144,9 @@ def run_e2e(args):
 
     def hook(step, state, logs):
         if step == warm or step == warm + measure:
-            jax.block_until_ready(logs)
+            # Host materialization, not block_until_ready — the latter
+            # returns early on the axon tunnel (tools/benchlib.py).
+            float(logs["loss/total_loss"])
             times[step] = time.time()
 
     trainer_lib.train(

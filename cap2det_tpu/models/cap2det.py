@@ -95,7 +95,11 @@ class Cap2DetModel:
 
     def device_batch(self, host_batch):
         return {
-            "image": np.asarray(host_batch[InputFields.image]),
+            # Pixels ship as float16: exact for 0-255 integers and well
+            # beyond the bf16 precision the convs run at, and it halves
+            # the host->device transfer — which dominates the e2e loop on
+            # thin links (BENCH_NOTES.md round 3). The forward casts up.
+            "image": np.asarray(host_batch[InputFields.image], np.float16),
             "proposals": np.asarray(host_batch[InputFields.proposals]),
             "num_proposals": np.asarray(host_batch[InputFields.num_proposals]),
             "labels": np.asarray(

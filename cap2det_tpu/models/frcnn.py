@@ -78,7 +78,9 @@ def extract_features(
         use_pallas = False
     batch, num_proposals = proposals.shape[:2]
 
-    preprocessed = inception_v2.preprocess(images)
+    # Pixels may arrive f16 (transfer-optimized, models/cap2det.py
+    # device_batch); all preprocessing math runs in f32.
+    preprocessed = inception_v2.preprocess(images.astype(jnp.float32))
     features = inception_v2.first_stage(
         params[FIRST_SCOPE], preprocessed, compute_dtype=compute_dtype
     )

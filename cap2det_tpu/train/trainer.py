@@ -83,6 +83,13 @@ def make_train_step(model, tx, train_config, trainable_mask=None,
 
     def train_step(state, batch, rng):
         params = state["params"]
+        # Per-step randomness derives from the step counter INSIDE the
+        # jitted program: the caller passes one constant base rng for the
+        # whole run. A host-side jax.random.split per step is a device
+        # dispatch — a full round trip per step on remote links — and
+        # this form is also reproducible across checkpoint restarts
+        # (the split chain was not).
+        rng = jax.random.fold_in(rng, state["step"])
         if pmean_axis is not None:
             # Decorrelate per-shard randomness (dropout etc.): every shard
             # receives the same replicated step rng, so fold the data-axis
@@ -297,6 +304,12 @@ def train(
             return mesh_lib.shard_batch(mesh, batch)
         return jax.device_put(batch)
 
+    # One device placement for the whole run: the per-step rng is derived
+    # from the step counter inside the jitted step (make_train_step).
+    rng, base_rng = jax.random.split(rng)
+    if mesh is not None:
+        base_rng = jax.device_put(base_rng, mesh_lib.replicated(mesh))
+
     for batch in _device_prefetch(pipe, _place, depth=2):
         if step >= max_steps:
             break
@@ -309,10 +322,7 @@ def train(
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info("profiler trace written to %s", profiler_dir)
-        rng, step_rng = jax.random.split(rng)
-        if mesh is not None:
-            step_rng = jax.device_put(step_rng, mesh_lib.replicated(mesh))
-        state, logs = train_step(state, batch, step_rng)
+        state, logs = train_step(state, batch, base_rng)
         step += 1
         window_steps += 1
         window_examples += batch_size

@@ -57,8 +57,12 @@ def _run_step(n_shards, lr=1.0):
 
 def test_per_shard_rng_is_decorrelated_and_deterministic():
     base = jax.random.PRNGKey(7)
+    # The step derives its rng as fold_in(base, step) INSIDE the program
+    # (restart-reproducible; no host dispatch per step), then folds the
+    # shard index in on the mesh path.
+    step0 = jax.random.fold_in(base, 0)
     per_shard = [
-        float(jax.random.uniform(jax.random.fold_in(base, i), ()))
+        float(jax.random.uniform(jax.random.fold_in(step0, i), ()))
         for i in range(4)
     ]
     # Shards must draw DIFFERENT values.
@@ -89,5 +93,6 @@ def test_single_device_path_unchanged():
     batch = {"x": np.ones((2, 3), np.float32)}
     rng = jax.random.PRNGKey(7)
     new_state, _ = jax.jit(step_fn)(state, batch, rng)
-    expect = float(jax.random.uniform(rng, ()))
+    # Single-device: rng = fold_in(base, step) only (no shard fold).
+    expect = float(jax.random.uniform(jax.random.fold_in(rng, 0), ()))
     assert np.isclose(-float(new_state["params"]["w"]), expect, atol=1e-6)

@@ -258,7 +258,8 @@ def main():
     y0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
     x0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
     batch = {
-        "image": rs.uniform(0, 255, (batch_size, h, w, 3)).astype(np.float32),
+        # f16 pixels — the dtype device_batch ships (models/cap2det.py).
+        "image": rs.uniform(0, 255, (batch_size, h, w, 3)).astype(np.float16),
         "proposals": np.stack(
             [y0, x0, y0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals)),
              x0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals))], -1

@@ -94,7 +94,10 @@ class MultiScalePredictor:
             fy, fx = new_h / ch, new_w / cw
             scale_vec = np.array([fy, fx, fy, fx], np.float32)
             batch = {
-                "image": canvas[None],
+                # f16 pixels: halves the per-scale host->device transfer
+                # (the eval daemon's dominant cost on thin links); exact
+                # for 0-255 + bilinear fractions at bf16-conv precision.
+                "image": canvas[None].astype(np.float16),
                 "proposals": (props_true * scale_vec)[None],
                 "num_proposals": np.array([n_props], np.int32),
             }

@@ -98,10 +98,10 @@ def _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, win, width,
         w = y_in[i]
         tmp_ref[0:win, i, :] = (
             rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
-        )
+        ).astype(tmp_ref.dtype)
     for j in range(crop_size):
         start = x_idx[j] if full else x_idx[j] - x0
-        cols = tmp_ref[pl.ds(start, 2), :, :]
+        cols = tmp_ref[pl.ds(start, 2), :, :].astype(jnp.float32)
         w = x_in[j]
         crop_ref[:, j, :] = (
             cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)

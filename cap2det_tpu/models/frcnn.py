@@ -53,6 +53,7 @@ def extract_features(
     dropout_rng=None,
     compute_dtype=jnp.bfloat16,
     use_pallas=None,
+    second_stage_chunk=None,
 ):
     """Returns [batch, P, feature_dims] pooled proposal features.
 
@@ -62,6 +63,9 @@ def extract_features(
       proposals: [B, P, 4] canvas-normalized boxes.
       use_pallas: route the ROI crop+pool through the fused Pallas kernel
         (kernels/roi_pool.py). Default: on when running on TPU.
+      second_stage_chunk: optional chunk size for scanning large ROI
+        batches through the second stage (large-P regimes); None runs
+        all B*P ROIs in one call.
     """
     if use_pallas is None:
         import jax
@@ -110,9 +114,27 @@ def extract_features(
 
     s = rois.shape[2]
     rois = rois.reshape(batch * num_proposals, s, s, rois.shape[-1])
-    box_features = inception_v2.second_stage(
-        params[SECOND_SCOPE], rois, compute_dtype=compute_dtype
-    )
+    if (second_stage_chunk and rois.shape[0] > second_stage_chunk
+            and rois.shape[0] % second_stage_chunk == 0):
+        # Large-P regimes (voc07_inc2: 2000 ROIs/image): bound the temp
+        # arena by scanning fixed ROI chunks through the box classifier.
+        chunks = rois.reshape(
+            rois.shape[0] // second_stage_chunk, second_stage_chunk, s, s,
+            rois.shape[-1],
+        )
+        box_features = jax.lax.map(
+            lambda r: inception_v2.second_stage(
+                params[SECOND_SCOPE], r, compute_dtype=compute_dtype
+            ),
+            chunks,
+        )
+        box_features = box_features.reshape(
+            batch * num_proposals, *box_features.shape[2:]
+        )
+    else:
+        box_features = inception_v2.second_stage(
+            params[SECOND_SCOPE], rois, compute_dtype=compute_dtype
+        )
     # Spatial mean in fp32; downstream FC heads and losses run in fp32.
     pooled = box_features.astype(jnp.float32).mean(axis=(1, 2))  # [B*P, 1024]
 

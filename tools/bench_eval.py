@@ -127,6 +127,23 @@ def main():
         n += 1
     per_example = (time.time() - t0) / max(n, 1)
 
+    # Device-resident per-scale forward (excludes host pipeline + H2D):
+    # the compute-bound floor a locally-attached host would see.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchlib import slope_time
+
+    img = pipeline_lib.decode_jpeg(examples[0]["image_encoded"])
+    short, long_ = pipeline_lib.compute_canvas(max(min_dims), 1.0, 1.5, 32)
+    canvas, _ = pipeline_lib.fit_image_to_canvas(img, (short, long_))
+    device_batch = jax.device_put({
+        "image": canvas[None].astype(np.float16),
+        "proposals": np.zeros((1, args.proposals, 4), np.float32),
+        "num_proposals": np.array([args.proposals], np.int32),
+    })
+    fn = predictor._jit_scores
+    params = predictor._params
+    per_scale_device = slope_time(fn, (params, device_batch), steps=6)
+
     # Full pass: predict + metric accumulation + AP computation.
     t0 = time.time()
     metrics, map_per_iter = evaluator_lib.run_evaluation(
@@ -148,6 +165,16 @@ def main():
         "note": "%d images x %.2fs; full %d-example run_evaluation pass "
                 "(predict+metrics+AP) took %.1fs"
                 % (VOC07_TEST_IMAGES, per_example, args.examples, full_pass),
+    }))
+    print(json.dumps({
+        "metric": "eval_device_forward_seconds_per_scale",
+        "value": round(per_scale_device, 4),
+        "largest_canvas": [int(short), int(long_)],
+        "compute_bound_seconds_per_checkpoint": round(
+            per_scale_device * len(min_dims) * VOC07_TEST_IMAGES, 1
+        ),
+        "note": "device-resident batch; the gap vs per_example is "
+                "host pipeline + transfer (tunnel-bound in this sandbox)",
     }))
 
 

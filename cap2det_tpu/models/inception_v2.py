@@ -251,19 +251,26 @@ def _conv(x, w, stride, compute_dtype):
     )
 
 
-def _bn_relu(x, bn):
-    out_dtype = x.dtype
-    x = x.astype(jnp.float32)
+def _fold_bn(w, bn):
+    """Folds frozen-statistics BN into the conv: returns (w', bias') with
+    conv(x, w') + bias' == BN(conv(x, w)). Exact for inference-mode BN
+    (all shipped configs: batch_norm_trainable false); beta stays a live
+    parameter — gradients flow through the fold. Saves a full elementwise
+    pass over every conv activation.
+    """
     inv = jax.lax.rsqrt(bn["moving_variance"] + BN_EPSILON)
-    x = (x - bn["moving_mean"]) * inv + bn["beta"]
-    return jax.nn.relu(x).astype(out_dtype)
+    w_folded = w * inv  # broadcast over the trailing cout axis
+    bias = bn["beta"] - bn["moving_mean"] * inv
+    return w_folded, bias
 
 
 def _conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
     w, bn = params["weights"], params["BatchNorm"]
     if pad_out_to:
         w, bn = _pad_cout(w, bn, pad_out_to)
-    return _bn_relu(_conv(x, w, stride, compute_dtype), bn)
+    w, bias = _fold_bn(w, bn)
+    out = _conv(x, w, stride, compute_dtype)
+    return jax.nn.relu(out + bias.astype(out.dtype))
 
 
 def _pad_cout(w, bn, target):
@@ -364,18 +371,19 @@ def _sep_conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
         bn = params["BatchNorm"]
         if pad_out_to:
             w_dense, bn = _pad_cout(w_dense, bn, pad_out_to)
+        w_dense, bias = _fold_bn(w_dense, bn)
         # NOT the _space_to_depth_conv path: the regrouped conv itself is
         # 2.2x faster (1.06 vs 2.35 ms at bench shapes) but XLA lowers the
         # [B,H,W,3] -> [B,H/2,W/2,12] transpose at ~5 ms — a net loss.
         # Measured negative result, BENCH_NOTES.md round 3.
         out = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
-            w_dense,
+            w_dense.astype(compute_dtype),
             window_strides=(stride, stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return _bn_relu(out, bn)
+        return jax.nn.relu(out + bias.astype(out.dtype))
     # Grouped-conv output channels are blocked per input channel
     # (c * mult + m) — TF depthwise ordering; the plain reshape keeps it.
     out = jax.lax.conv_general_dilated(
@@ -386,14 +394,17 @@ def _sep_conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=cin,
     )
+    pw_folded, bias = _fold_bn(
+        params["pointwise_weights"], params["BatchNorm"]
+    )
     out = jax.lax.conv_general_dilated(
         out,
-        params["pointwise_weights"].astype(compute_dtype),
+        pw_folded.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return _bn_relu(out, params["BatchNorm"])
+    return jax.nn.relu(out + bias.astype(out.dtype))
 
 
 def _same_pads(size, kernel, stride):
@@ -522,14 +533,16 @@ def _block(params, spec, x, compute_dtype):
             means.append(p["BatchNorm"]["moving_mean"])
             variances.append(p["BatchNorm"]["moving_variance"])
             couts.append(p["weights"].shape[-1])
-        fused = _bn_relu(
-            _conv(x, jnp.concatenate(weights, axis=-1), 1, compute_dtype),
+        w_cat, bias = _fold_bn(
+            jnp.concatenate(weights, axis=-1),
             {
                 "beta": jnp.concatenate(betas),
                 "moving_mean": jnp.concatenate(means),
                 "moving_variance": jnp.concatenate(variances),
             },
         )
+        out = _conv(x, w_cat, 1, compute_dtype)
+        fused = jax.nn.relu(out + bias.astype(out.dtype))
         offset = 0
         for b, cout in zip(mergeable, couts):
             merged_out[b] = fused[..., offset:offset + cout]

@@ -155,3 +155,20 @@ def test_window_tier_branch_matches_xla():
         lambda f: jnp.sum(roi_ops.crop_resize_maxpool(f, boxes, 6, 2, 2) ** 2)
     )(feat)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-2)
+
+
+def test_window_tier_invariants():
+    """The narrow window must keep (width - win) a multiple of 8 (the
+    aligned-start construction divides by it) and be strictly smaller
+    than the full width when enabled."""
+    from cap2det_tpu.kernels.roi_pool import _window_tier
+
+    for width in range(2, 32):
+        assert _window_tier(width) is None
+    for width in range(32, 260):
+        win = _window_tier(width)
+        if win is None:
+            continue
+        assert 0 < win < width
+        assert (width - win) % 8 == 0
+        assert win >= 24

@@ -96,3 +96,28 @@ def test_single_device_path_unchanged():
     # Single-device: rng = fold_in(base, step) only (no shard fold).
     expect = float(jax.random.uniform(jax.random.fold_in(rng, 0), ()))
     assert np.isclose(-float(new_state["params"]["w"]), expect, atol=1e-6)
+
+
+def test_device_prefetch_orders_and_bounds():
+    """_device_prefetch yields every batch in order and keeps at most
+    `depth` placed batches ahead of the consumer (transfer overlap
+    without unbounded lookahead)."""
+    placed = []
+
+    def place(x):
+        placed.append(x)
+        return x * 10
+
+    out = list(trainer_lib._device_prefetch(range(5), place, depth=2))
+    assert out == [0, 10, 20, 30, 40]
+    assert placed == [0, 1, 2, 3, 4]
+
+    # Laziness: after pulling one item, at most depth+1 have been placed.
+    placed.clear()
+    gen = trainer_lib._device_prefetch(range(100), place, depth=2)
+    next(gen)
+    assert len(placed) <= 3
+
+    # Shorter than depth still yields everything.
+    assert list(trainer_lib._device_prefetch([7], place, depth=4)) == [70]
+    assert list(trainer_lib._device_prefetch([], place, depth=2)) == []

@@ -55,7 +55,7 @@ NUM_PROPOSALS = 500
 NUM_CLASSES = 80
 OICR_ITERATIONS = 3
 WARMUP_STEPS = 3
-MEASURE_STEPS = 10
+MEASURE_STEPS = 16  # two-run slope: 5 + 16 measured steps
 
 # --shape inc2: the regime of the reference's best published number
 # (voc07_inc2.pbtxt, 50.7 mAP — BASELINE.md): batch 1, min-dim-1000

@@ -111,6 +111,7 @@ def run_e2e(args):
         preprocess_options { random_flip_left_right_prob: 0.5 }
         max_num_proposals: %d
         batch_resize_scale_value: 1.0
+        map_num_parallel_calls: 8
       }
     """ % (record, BATCH, args.e2e_min_dim, NUM_PROPOSALS)
     config_text = (
@@ -161,8 +162,13 @@ def run_e2e(args):
                 "unit": "images/sec",
                 "min_dimension": args.e2e_min_dim,
                 "host_pipeline_images_per_sec": round(host_rate, 4),
-                "host_workers": min(
-                    os.cpu_count() or 1, 4
+                "host_workers": max(
+                    1,
+                    min(
+                        cfg.train_reader.cap2det_reader
+                        .map_num_parallel_calls,
+                        os.cpu_count() or 1,
+                    ),
                 ),
                 "note": "e2e = host pipeline + H2D (double-buffered) + "
                         "jitted step; host_pipeline is the host-bound "

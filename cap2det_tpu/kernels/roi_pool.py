@@ -9,10 +9,16 @@ This kernel exploits the 2-sparse structure of bilinear weights instead:
 per sample row only two feature rows are touched, so the crop is a pair
 of dynamic-sliced row lerps out of a VMEM-resident feature block.
 
-  grid = (B, C/CB, P); the [H, W, CB] feature block's index map is
-  constant in P, so Pallas keeps it resident across all proposals of an
-  image; per program the kernel computes the S x S crop in VMEM scratch
-  and writes the pooled [S', S', CB] tile.
+  grid = (B, C/CB, P/group); the [H, W, CB] feature block's index map is
+  constant in the proposal axis, so Pallas keeps it resident across all
+  proposals of an image; per program the kernel computes each S x S crop
+  in VMEM scratch and writes the pooled [group, S', S', CB] tile. The
+  y-lerp runs over a static half-width x-window when the box is narrow
+  (the common selective-search case; 8-aligned start via pl.multiple_of)
+  with a full-width fallback branch — 1.55x on the forward at bench
+  shapes. Alternative formulations measured and rejected are recorded in
+  BENCH_NOTES.md (grouping alone, grouped interp-matrix matmuls =
+  impl='mm', strip-matmul y-scatter, windowed-x scatter).
 
 HBM traffic drops to one read of the feature map per image per C-block
 plus the pooled outputs — speed-of-light for this op.

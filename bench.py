@@ -59,13 +59,34 @@ MEASURE_STEPS = 16  # two-run slope: 5 + 16 measured steps
 
 # --shape inc2: the regime of the reference's best published number
 # (voc07_inc2.pbtxt, 50.7 mAP — BASELINE.md): batch 1, min-dim-1000
-# canvas, 2000 selective-search proposals, 20 classes.
+# canvas, 2000 selective-search proposals, 20 classes. Critically,
+# voc07_inc2 freezes the ENTIRE first stage (no Mixed_4e re-enable,
+# configs/voc07_inc2.pbtxt:91-98 — unlike the coco17 configs), which
+# makes the ROI kernel's dfeat output dead: the trainer's leaf-level
+# stop_gradient lets JAX partial-eval elide the whole ROI backward +
+# first-stage backward cone (tests/test_frozen_backward.py pins this).
+# full_freeze selects that regime; the bench shape keeps the coco17
+# Mixed_4e-unfrozen multipliers (a live ROI backward).
 SHAPES = {
     "bench": dict(batch=2, canvas_hw=(1024, 1536), num_proposals=500,
-                  num_classes=80),
+                  num_classes=80, full_freeze=False),
     "inc2": dict(batch=1, canvas_hw=(1024, 1536), num_proposals=2000,
-                 num_classes=20),
+                 num_classes=20, full_freeze=True),
 }
+
+# The voc07_inc2/voc07_groundtruth training regime: whole first stage
+# frozen (mirrors configs/voc07_inc2.pbtxt train_config).
+_FULL_FREEZE_TRAIN_PBTXT = """
+train_config {
+  max_steps: 100
+  learning_rate: 0.01
+  learning_rate_decay { decay_steps: 100000 decay_rate: 1.0 staircase: true }
+  moving_average_decay: 0.0
+  optimizer { adagrad {} }
+  gradient_multiplier { scope: 'first_stage_feature_extraction' multiplier: 0.0 }
+  gradient_multiplier { scope: 'second_stage_feature_extraction' multiplier: 1.0 }
+}
+"""
 
 
 def run_e2e(args):
@@ -245,8 +266,12 @@ def main():
     m = model_cfg.cap2det_model
     object.__setattr__(m, "oicr_iterations", OICR_ITERATIONS)
     object.__setattr__(m.frcnn_options, "initial_crop_size", 14)
+    train_pbtxt = (
+        _FULL_FREEZE_TRAIN_PBTXT if shape["full_freeze"]
+        else graft._TRAIN_PBTXT
+    )
     train_config = schema.Pipeline.from_dict(
-        pbtxt.parse(graft._TRAIN_PBTXT)
+        pbtxt.parse(train_pbtxt)
     ).train_config
 
     compute_dtype = jnp.float32 if args.cpu_baseline else jnp.bfloat16
@@ -263,17 +288,27 @@ def main():
     h, w = canvas_hw
     y0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
     x0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
-    batch = {
-        # f16 pixels — the dtype device_batch ships (models/cap2det.py).
-        "image": rs.uniform(0, 255, (batch_size, h, w, 3)).astype(np.float16),
-        "proposals": np.stack(
+    from cap2det_tpu.fields import InputFields
+
+    # Through model.device_batch — the production feed path (f16 pixels,
+    # host-side space-to-depth packing), so the bench measures exactly
+    # what the trainer ships.
+    host_batch = {
+        InputFields.image: rs.uniform(
+            0, 255, (batch_size, h, w, 3)
+        ).astype(np.float32),
+        InputFields.proposals: np.stack(
             [y0, x0, y0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals)),
              x0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals))], -1
         ).astype(np.float32),
-        "num_proposals": np.full((batch_size,), num_proposals, np.int32),
-        "labels": (rs.rand(batch_size, num_classes) < 0.05).astype(np.float32),
+        InputFields.num_proposals: np.full(
+            (batch_size,), num_proposals, np.int32
+        ),
+        InputFields.pseudo_labels: (
+            rs.rand(batch_size, num_classes) < 0.05
+        ).astype(np.float32),
     }
-    batch = jax.device_put(batch)
+    batch = jax.device_put(model.device_batch(host_batch))
     step_rng = jax.random.PRNGKey(1)
 
     # Timing methodology (shared with the component benches): see
@@ -290,14 +325,30 @@ def main():
 
     # MFU arithmetic from the compiled program's own cost model (flops
     # counts each MAC as 2; Pallas custom calls are NOT counted, so this
-    # is a lower bound on real FLOPs).
+    # alone is a lower bound on real FLOPs). The Pallas ROI kernel's
+    # analytic counts (kernels/roi_pool.py estimate_flops) are added on
+    # top for the true-MFU number: fwd always; bwd only when it is live
+    # (full_freeze elides it — tests/test_frozen_backward.py).
     step_flops = None
+    pallas_flops = 0.0
     try:
         cost = train_step.lower(state, batch, step_rng).compile().cost_analysis()
         if cost and cost.get("flops"):
             step_flops = float(cost["flops"])
     except Exception:
         pass
+    if jax.default_backend() == "tpu":
+        from cap2det_tpu.kernels import roi_pool
+        from cap2det_tpu.models import inception_v2
+
+        roi = roi_pool.estimate_flops(
+            batch_size, num_proposals, h // 16, w // 16,
+            inception_v2.FIRST_STAGE_DEPTH, m.frcnn_options.initial_crop_size,
+            m.frcnn_options.maxpool_kernel_size,
+        )
+        pallas_flops = roi["fwd"] + (
+            0.0 if shape["full_freeze"] else roi["bwd"]
+        )
 
     state_box = {"state": state}
 
@@ -350,6 +401,10 @@ def main():
         out["mfu_lower_bound"] = round(
             step_flops / per_step / V5E_BF16_PEAK, 4
         )
+        if pallas_flops:
+            total = step_flops + pallas_flops
+            out["tflops_per_step_incl_pallas"] = round(total / 1e12, 3)
+            out["mfu"] = round(total / per_step / V5E_BF16_PEAK, 4)
     if args.shape == "bench":  # the CPU floor was measured at this shape
         baseline_value, baseline_source = _load_cpu_baseline()
         out["vs_baseline"] = round(images_per_sec / baseline_value, 2)

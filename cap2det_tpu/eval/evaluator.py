@@ -317,6 +317,37 @@ def continuous_evaluation(
     writer = MetricsWriter(
         model_dir, jsonl_name="eval_metrics.jsonl", tb_name="tb_eval"
     )
+    try:
+        return _poll_loop(
+            pipeline_config, model, model_dir, saved_dir, writer,
+            max_eval_examples=max_eval_examples,
+            eval_coco_on_voc=eval_coco_on_voc,
+            poll_interval_secs=poll_interval_secs,
+            min_eval_steps=min_eval_steps,
+            max_idle_polls=max_idle_polls,
+            evaluator_kind=evaluator_kind,
+        )
+    finally:
+        # Close on EVERY exit path (exceptions, SIGTERM-as-exception):
+        # the JSONL handle and TB event writer would otherwise leak and
+        # drop buffered events.
+        writer.close()
+
+
+def _poll_loop(
+    pipeline_config,
+    model,
+    model_dir,
+    saved_dir,
+    writer,
+    *,
+    max_eval_examples,
+    eval_coco_on_voc,
+    poll_interval_secs,
+    min_eval_steps,
+    max_idle_polls,
+    evaluator_kind,
+):
     evaluated = set()
     idle = 0
     best = None
@@ -332,7 +363,6 @@ def continuous_evaluation(
         if step is None or step in evaluated or step < min_eval_steps:
             idle += 1
             if max_idle_polls is not None and idle > max_idle_polls:
-                writer.close()
                 return best
             time.sleep(poll_interval_secs)
             continue

@@ -162,16 +162,16 @@ def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
         )
 
 
-def _interp_matrix(start, end, crop_size, extent, offset=None, out_cols=None):
-    """Dense [crop_size, out_cols] bilinear interpolation matrix.
+def _interp_matrix(start, end, crop_size, extent):
+    """Dense [crop_size, extent] bilinear interpolation matrix.
 
     Row i holds the two-tap lerp weights of `_sample_coords` at positions
     idx[i] and idx[i]+1 — crop = W_y @ F @ W_x^T. Built with pure vector
     ops (iota + compares): no scalar reads of vectors, no dynamic slices.
-    With `offset`/`out_cols`, column j of the matrix corresponds to the
-    feature column offset + j (the narrow-window backward).
+    (A windowed variant with an offset/out_cols column remap was built
+    for the rejected windowed-x backward — see BENCH_NOTES.md round 3.)
     """
-    out_cols = extent if out_cols is None else out_cols
+    out_cols = extent
     h_max = extent - 1
     i = jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 0).astype(
         jnp.float32
@@ -179,8 +179,6 @@ def _interp_matrix(start, end, crop_size, extent, offset=None, out_cols=None):
     pos = jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 1).astype(
         jnp.float32
     )
-    if offset is not None:
-        pos = pos + offset.astype(jnp.float32)
     if crop_size > 1:
         coords = start * h_max + i * (end - start) * h_max / (crop_size - 1)
     else:
@@ -424,6 +422,41 @@ def _bwd_kernel_mm(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [H, W, CB]
+
+
+def estimate_flops(batch, num_proposals, height, width, channels,
+                   crop_size, pool_kernel=2, channel_block=128, group=8):
+    """Analytic FLOP counts for the slice-impl kernels, per invocation.
+
+    bench.py adds these to XLA's cost analysis (which cannot see inside
+    custom calls) so the reported MFU is a true utilization number, not
+    a floor. Counting conventions match XLA's: a multiply-add is 2 flops;
+    elementwise lerp a*(1-t) + b*t over N elems = 3N; pool max/compare
+    passes counted 1 flop per element. The narrow-window fast path is
+    assumed taken for every proposal (the common selective-search case);
+    wide boxes run the full-width branch, so the y-pass term is a mild
+    underestimate when boxes are wide.
+
+    Returns {'fwd': float, 'bwd': float} flops.
+    """
+    p_pad = -(-num_proposals // group) * group
+    c_pad = -(-channels // channel_block) * channel_block
+    win = _window_tier(width) or width
+    s = crop_size
+    per_prop_crop = 3.0 * s * win + 3.0 * s * s  # y-pass + x-pass lerps
+    pool = float(s * s)  # max-reduce over k^2 windows
+    fwd = batch * p_pad * c_pad * (per_prop_crop + pool)
+
+    # Backward: crop recompute + first-tie routing (~2 passes over the
+    # k^2 window grid) + the x-interp dot_general
+    # ([S,W] x [S,S,CB] contracting S) + the sparse 2-row y-scatter.
+    routing = 2.0 * s * s * pool_kernel * pool_kernel
+    x_dot = 2.0 * s * s * width
+    y_scatter = 3.0 * 2.0 * s * width  # scatter always runs full-width
+    bwd = batch * p_pad * c_pad * (
+        per_prop_crop + pool + routing + x_dot + y_scatter
+    )
+    return {"fwd": float(fwd), "bwd": float(bwd)}
 
 
 def _pad_channels(x, cb):

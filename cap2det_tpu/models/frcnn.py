@@ -65,7 +65,8 @@ def extract_features(
         (kernels/roi_pool.py). Default: on when running on TPU.
       second_stage_chunk: optional chunk size for scanning large ROI
         batches through the second stage (large-P regimes); None runs
-        all B*P ROIs in one call.
+        all B*P ROIs in one call. Must divide batch*P exactly (chunks
+        are lax.map'ed over a static reshape) — raises otherwise.
     """
     if use_pallas is None:
         import jax
@@ -114,8 +115,12 @@ def extract_features(
 
     s = rois.shape[2]
     rois = rois.reshape(batch * num_proposals, s, s, rois.shape[-1])
-    if (second_stage_chunk and rois.shape[0] > second_stage_chunk
-            and rois.shape[0] % second_stage_chunk == 0):
+    if second_stage_chunk and rois.shape[0] % second_stage_chunk != 0:
+        raise ValueError(
+            "second_stage_chunk=%d does not divide batch*num_proposals=%d"
+            % (second_stage_chunk, rois.shape[0])
+        )
+    if second_stage_chunk and rois.shape[0] > second_stage_chunk:
         # Large-P regimes (voc07_inc2: 2000 ROIs/image): bound the temp
         # arena by scanning fixed ROI chunks through the box classifier.
         chunks = rois.reshape(

@@ -241,6 +241,15 @@ def _conv(x, w, stride, compute_dtype):
     if x.shape[-1] > w.shape[2]:
         # The activation carries lane-padding channels (see _pad_cout):
         # zero-weight rows make the extra channels contribute nothing.
+        # Restricted to the one deliberate case — a sub-128 conv input
+        # lane-padded up to exactly 128 — so a genuine channel-wiring
+        # mismatch still fails instead of silently ignoring channels.
+        if x.shape[-1] != 128 or w.shape[2] >= 128:
+            raise ValueError(
+                "conv input width %d != weight input channels %d (only "
+                "the 128-lane padding of <128ch stem activations is "
+                "allowed)" % (x.shape[-1], w.shape[2])
+            )
         w = jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]), (0, 0)))
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -300,30 +309,51 @@ def _pad_cout(w, bn, target):
     return w, bn
 
 
-def _space_to_depth_conv(x, w, stride, compute_dtype):
-    """Stride-2 KxK conv on few channels as a stride-1 conv over 2x2
-    space-to-depth blocks (exact reformulation; the standard TPU trick
-    for the RGB stem, where cin=3 leaves the MXU's contraction dimension
-    127/128 empty — s2d packs 12 channels and quarters the positions).
+def space_to_depth(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with (di, dj, c) phase packing.
+
+    The packing the s2d stem conv expects. H and W must be even. Works
+    on jnp and numpy arrays alike (the HOST pipeline packs pixel
+    canvases with the numpy twin in cap2det.device_batch — shipping the
+    packed layout avoids the ~5 ms on-device transpose that made the
+    device-side s2d formulation a net loss, BENCH_NOTES.md round 3).
     """
-    b, h, w_dim, cin = x.shape
-    kh, kw, _, cout = w.shape
+    b, h, w_dim, c = x.shape
+    return (
+        x.reshape(b, h // 2, 2, w_dim // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w_dim // 2, 4 * c)
+    )
 
-    def _axis(extent, k):
-        """(lead_zero_taps, kernel_blocks, block_pad_lo) for one axis.
 
-        SAME/stride-2 on even extent pads (k-2)//2 pixels before the
-        first tap; output o reads pixel rows 2o - pad_px + u. Prepending
-        `lead = pad_px % 2` zero taps makes the first tap block-aligned:
-        tap u' = u + lead reads row 2(o - (pad_px + lead)/2) + (u' % 2).
-        """
-        pad_px = max(k - 2, 0) // 2
-        lead = pad_px % 2
-        kb = (k + lead + 1) // 2
-        return lead, kb, (pad_px + lead) // 2
+def _s2d_axis(k):
+    """(lead_zero_taps, kernel_blocks, block_pad_lo) for one axis of a
+    SAME/stride-2 conv on an even extent.
 
-    lead_h, kh2, pad_t = _axis(h, kh)
-    lead_w, kw2, pad_l = _axis(w_dim, kw)
+    SAME/stride-2 on even extent pads (k-2)//2 pixels before the
+    first tap; output o reads pixel rows 2o - pad_px + u. Prepending
+    `lead = pad_px % 2` zero taps makes the first tap block-aligned:
+    tap u' = u + lead reads row 2(o - (pad_px + lead)/2) + (u' % 2).
+    """
+    pad_px = max(k - 2, 0) // 2
+    lead = pad_px % 2
+    kb = (k + lead + 1) // 2
+    return lead, kb, (pad_px + lead) // 2
+
+
+def _s2d_pack_weights(w):
+    """Rewrites a stride-2 KxK conv weight for the space-to-depth input.
+
+    Returns (w_s2d [kh2, kw2, 4*cin, cout], ((pad_t, pad_b), (pad_l,
+    pad_r))) such that a stride-1 conv of the packed input with w_s2d and
+    that explicit padding equals the stride-2 SAME conv of the raw input
+    (exact reformulation — the standard TPU trick for the RGB stem,
+    where cin=3 leaves the MXU's contraction dimension 127/128 empty;
+    s2d packs 12 channels and quarters the positions).
+    """
+    kh, kw, cin, cout = w.shape
+    lead_h, kh2, pad_t = _s2d_axis(kh)
+    lead_w, kw2, pad_l = _s2d_axis(kw)
     w8 = jnp.pad(
         w,
         (
@@ -332,24 +362,32 @@ def _space_to_depth_conv(x, w, stride, compute_dtype):
             (0, 0),
             (0, 0),
         ),
-    ).astype(compute_dtype)
-    # Tap (2*bi + di) -> phase channel di; matches x2's (di, dj, c) packing.
+    )
+    # Tap (2*bi + di) -> phase channel di; matches space_to_depth's
+    # (di, dj, c) packing.
     w_s2d = (
         w8.reshape(kh2, 2, kw2, 2, cin, cout)
         .transpose(0, 2, 1, 3, 4, 5)
         .reshape(kh2, kw2, 4 * cin, cout)
     )
-    x2 = (
-        x.astype(compute_dtype)
-        .reshape(b, h // 2, 2, w_dim // 2, 2, cin)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, h // 2, w_dim // 2, 4 * cin)
-    )
+    return w_s2d, ((pad_t, kh2 - 1 - pad_t), (pad_l, kw2 - 1 - pad_l))
+
+
+def _space_to_depth_conv(x, w, stride, compute_dtype):
+    """Stride-2 KxK conv via on-device s2d packing (exact reformulation).
+
+    Kept as the reference implementation/golden for `_s2d_pack_weights`;
+    the production path packs on the HOST (space_to_depth in
+    device_batch) and feeds `_sep_conv_bn` the packed canvas directly.
+    """
+    assert stride == 2, stride
+    w_s2d, padding = _s2d_pack_weights(w.astype(compute_dtype))
+    x2 = space_to_depth(x.astype(compute_dtype))
     return jax.lax.conv_general_dilated(
         x2,
         w_s2d,
         window_strides=(1, 1),
-        padding=((pad_t, kh2 - 1 - pad_t), (pad_l, kw2 - 1 - pad_l)),
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -372,10 +410,23 @@ def _sep_conv_bn(params, x, stride, compute_dtype, pad_out_to=None):
         if pad_out_to:
             w_dense, bn = _pad_cout(w_dense, bn, pad_out_to)
         w_dense, bias = _fold_bn(w_dense, bn)
-        # NOT the _space_to_depth_conv path: the regrouped conv itself is
-        # 2.2x faster (1.06 vs 2.35 ms at bench shapes) but XLA lowers the
-        # [B,H,W,3] -> [B,H/2,W/2,12] transpose at ~5 ms — a net loss.
-        # Measured negative result, BENCH_NOTES.md round 3.
+        if x.shape[-1] == 4 * cin:
+            # HOST-packed space-to-depth canvas ([B, H/2, W/2, 4*cin],
+            # space_to_depth packing): run the exact stride-1 regrouped
+            # conv. The regrouped conv alone is 2.2x faster (1.06 vs
+            # 2.35 ms at bench shapes); packing on device was a net loss
+            # (~5 ms XLA transpose, BENCH_NOTES.md round 3) — packing in
+            # the host pipeline sidesteps that entirely.
+            assert stride == 2, stride
+            w_s2d, padding = _s2d_pack_weights(w_dense.astype(compute_dtype))
+            out = jax.lax.conv_general_dilated(
+                x.astype(compute_dtype),
+                w_s2d,
+                window_strides=(1, 1),
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jax.nn.relu(out + bias.astype(out.dtype))
         out = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
             w_dense.astype(compute_dtype),
@@ -567,7 +618,12 @@ def _block(params, spec, x, compute_dtype):
 
 
 def first_stage(params, images, compute_dtype=jnp.bfloat16):
-    """Image [B,H,W,3] (preprocessed) -> Mixed_4e features [B,H/16,W/16,576].
+    """Image -> Mixed_4e features [B, H/16, W/16, 576].
+
+    `images` is the preprocessed canvas, either raw [B, H, W, 3] or
+    HOST-packed space-to-depth [B, H/2, W/2, 12] (space_to_depth
+    packing; the production training layout — see device_batch). The
+    stem conv handles both; everything downstream is identical.
 
     The 64-channel stem stretch runs lane-padded to 128 (exactly-zero
     extra channels, see _pad_cout): a 64-wide channel axis occupies

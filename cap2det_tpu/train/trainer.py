@@ -195,7 +195,30 @@ def train(
 
     model = registry.build(pipeline_config.model, is_training=True)
     reader = pipeline_config.train_reader
-    pipe = pipeline_lib.build_input_pipeline(reader, seed=seed,
+    pipe_seed = seed
+    if jax.process_count() > 1:
+        # Multi-host: every process must feed a DISTINCT local slice of
+        # the global batch, or make_array_from_process_local_data silently
+        # assembles duplicated data. shard_indicator partitions the
+        # example stream deterministically; without it, fall back to
+        # decorrelating the shuffle/augment randomness per process and
+        # say so loudly (sampling-with-replacement semantics across
+        # hosts — statistically fine for shuffled training, but set
+        # shard_indicator for a true partition).
+        if reader.cap2det_reader.shard_indicator:
+            log.info(
+                "multi-host: per-process data from shard_indicator %r",
+                reader.cap2det_reader.shard_indicator,
+            )
+        else:
+            pipe_seed = seed + 7919 * jax.process_index()
+            log.warning(
+                "multi-host training without train_reader.shard_indicator: "
+                "decorrelating hosts by per-process pipeline seed %d; set "
+                "shard_indicator: '%d/%d' for a disjoint data partition",
+                pipe_seed, jax.process_index(), jax.process_count(),
+            )
+    pipe = pipeline_lib.build_input_pipeline(reader, seed=pipe_seed,
                                              **model.pipeline_kwargs())
 
     rng = jax.random.PRNGKey(seed)
@@ -230,8 +253,8 @@ def train(
     if use_mesh and n_devices > 1 and jax.process_count() > 1:
         # Multi-host: the reader's batch_size is PER PROCESS; every host
         # feeds its local slice of the global batch (shard_batch uses
-        # make_array_from_process_local_data). Distinct data per host
-        # comes from train_reader.shard_indicator or per-host seeds.
+        # make_array_from_process_local_data). Distinct data per host is
+        # enforced above (shard_indicator or per-process pipeline seed).
         local = jax.local_device_count()
         if batch_size % local != 0:
             raise ValueError(

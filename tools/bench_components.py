@@ -35,13 +35,20 @@ def _slope_time(fn, args, n2, sync):
 
 def main():
     parser = argparse.ArgumentParser()
-    global BATCH
+    global BATCH, NUM_CLASSES
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--components", default="")
     parser.add_argument("--proposals", type=int, default=NUM_PROPOSALS)
     parser.add_argument("--batch", type=int, default=BATCH)
+    parser.add_argument("--classes", type=int, default=NUM_CLASSES)
+    parser.add_argument(
+        "--full_freeze", action="store_true",
+        help="Freeze the whole first stage (the voc07_inc2 regime: no "
+             "Mixed_4e re-enable) — elides the ROI backward in train_step.",
+    )
     args = parser.parse_args()
     BATCH = args.batch
+    NUM_CLASSES = args.classes
 
     import jax
     import jax.numpy as jnp
@@ -72,8 +79,13 @@ def main():
     m = model_cfg.cap2det_model
     object.__setattr__(m, "oicr_iterations", OICR_ITERATIONS)
     object.__setattr__(m.frcnn_options, "initial_crop_size", CROP)
+    import bench as bench_mod
+
     train_config = schema.Pipeline.from_dict(
-        pbtxt.parse(graft._TRAIN_PBTXT)
+        pbtxt.parse(
+            bench_mod._FULL_FREEZE_TRAIN_PBTXT if args.full_freeze
+            else graft._TRAIN_PBTXT
+        )
     ).train_config
     model = registry.build(model_cfg, is_training=True,
                            compute_dtype=jnp.bfloat16)
@@ -267,6 +279,77 @@ def main():
                  batch["num_proposals"]),
                 n2, sync_scalarize,
             ),
+        )
+
+    # -- heads sub-parts (inc2 attribution: 14.2 ms at P=2000 vs <1 GFLOP
+    #    of math — which piece lowers badly?) -----------------------------
+    if enabled("heads_parts"):
+        from cap2det_tpu.models import wsod
+        from cap2det_tpu.ops import masked
+        from cap2det_tpu.ops import losses as loss_ops
+
+        pmask = jax.device_put(
+            np.ones((BATCH, num_proposals), np.float32)
+        )
+        scores_prev = jax.device_put(
+            rs.rand(BATCH, num_proposals, 1 + NUM_CLASSES).astype(np.float32)
+        )
+        scores_next = jax.device_put(
+            rs.normal(0, 1, (BATCH, num_proposals, 1 + NUM_CLASSES))
+            .astype(np.float32)
+        )
+
+        # FC heads alone (5 matmuls [B,P,1024] x [1024,C]) fwd+bwd.
+        def fc_loss(p, pf):
+            total = jnp.sum(wsod.fc(p["midn"]["proba_r_given_c"], pf))
+            total += jnp.sum(wsod.fc(p["midn"]["proba_c_given_r"], pf))
+            for i in range(OICR_ITERATIONS):
+                total += jnp.sum(wsod.fc(p["oicr"]["iter%d" % (i + 1)], pf))
+            return total
+
+        record(
+            "heads_fc_fwdbwd",
+            _slope_time(jax.jit(jax.grad(fc_loss, argnums=1)),
+                        (params, prop_feats), n2, sync_scalarize),
+        )
+
+        # MIDN head (masked softmax over P + sum) fwd+bwd wrt features.
+        def midn_loss(p, pf, labels):
+            logits, _, _ = wsod.midn_head(p["midn"], pf, pmask)
+            return loss_ops.sigmoid_cross_entropy(labels, logits).mean()
+
+        record(
+            "heads_midn_fwdbwd",
+            _slope_time(jax.jit(jax.grad(midn_loss, argnums=1)),
+                        (params, prop_feats, batch["labels"]),
+                        n2, sync_scalarize),
+        )
+
+        # OICR target assignment alone (argmax/gather/IoU; no grads —
+        # targets are stop-gradient).
+        assign = jax.jit(
+            lambda labels, bx, sp: wsod.oicr_target_assignment(
+                labels, bx, sp, pmask, 0.6
+            )
+        )
+        record(
+            "heads_oicr_assign_fwd",
+            _slope_time(assign, (batch["labels"], boxes, scores_prev),
+                        n2, sync_scalarize),
+        )
+
+        # OICR CE given fixed targets, fwd+bwd wrt scores.
+        def ce_loss(targets, sn):
+            ce = loss_ops.softmax_cross_entropy(targets, sn)
+            return jnp.mean(masked.masked_avg(ce, pmask, axis=1))
+
+        targets = jax.device_put(np.asarray(
+            assign(batch["labels"], boxes, scores_prev)
+        ))
+        record(
+            "heads_oicr_ce_fwdbwd",
+            _slope_time(jax.jit(jax.grad(ce_loss, argnums=1)),
+                        (targets, scores_next), n2, sync_scalarize),
         )
 
     print(json.dumps({"summary": {k: round(v * 1e3, 3)

@@ -32,6 +32,15 @@ def main():
     parser.add_argument("--run_once", action="store_true",
                         help="Evaluate the latest checkpoint and exit.")
     parser.add_argument(
+        "--max_idle_polls", type=int, default=None,
+        help="Exit after this many consecutive no-new-checkpoint polls "
+             "(default: poll forever, the reference daemon behavior).",
+    )
+    parser.add_argument(
+        "--poll_interval", type=int, default=10,
+        help="Seconds between checkpoint polls (reference predict.py:610).",
+    )
+    parser.add_argument(
         "--shard_indicator", default="",
         help="'k/n' hash-shard of the eval data (reference predict.py:539).",
     )
@@ -56,7 +65,8 @@ def main():
         max_eval_examples=args.max_eval_examples,
         eval_coco_on_voc=args.eval_coco_on_voc,
         min_eval_steps=args.min_eval_steps,
-        max_idle_polls=0 if args.run_once else None,
+        max_idle_polls=0 if args.run_once else args.max_idle_polls,
+        poll_interval_secs=args.poll_interval,
         evaluator_kind=args.evaluator,
     )
 

@@ -6,10 +6,39 @@
 # Expects train2017/ val2017/ annotations/ and glove.6B.300d.txt already
 # downloaded under $1.
 set -euo pipefail
-DATA_DIR="${1:?usage: build_coco_dataset.sh <coco-dir> <output-dir> [num_procs]}"
+DOWNLOAD=0
+args=()
+for a in "$@"; do
+  [ "$a" = "--download" ] && DOWNLOAD=1 || args+=("$a")
+done
+set -- "${args[@]}"
+DATA_DIR="${1:?usage: build_coco_dataset.sh <coco-dir> <output-dir> [num_procs] [--download]}"
 OUT="${2:?output dir}"
 NPROC="${3:-10}"
 mkdir -p "${OUT}/ss_npy" "${OUT}/records"
+
+if [ "$DOWNLOAD" = 1 ]; then
+  # Mirrors reference dataset-tools/download_and_preprocess_mscoco.sh.
+  mkdir -p "${DATA_DIR}"
+  for z in train2017 val2017; do
+    [ -d "${DATA_DIR}/${z}" ] || {
+      [ -f "${DATA_DIR}/${z}.zip" ] || wget -q -O "${DATA_DIR}/${z}.zip" \
+        "http://images.cocodataset.org/zips/${z}.zip"
+      unzip -q -n "${DATA_DIR}/${z}.zip" -d "${DATA_DIR}"
+    }
+  done
+  [ -d "${DATA_DIR}/annotations" ] || {
+    [ -f "${DATA_DIR}/annotations_trainval2017.zip" ] || wget -q \
+      -O "${DATA_DIR}/annotations_trainval2017.zip" \
+      "http://images.cocodataset.org/annotations/annotations_trainval2017.zip"
+    unzip -q -n "${DATA_DIR}/annotations_trainval2017.zip" -d "${DATA_DIR}"
+  }
+  [ -f "${DATA_DIR}/glove.6B.300d.txt" ] || {
+    [ -f "${DATA_DIR}/glove.6B.zip" ] || wget -q -O "${DATA_DIR}/glove.6B.zip" \
+      "http://nlp.stanford.edu/data/glove.6B.zip"
+    unzip -q -n "${DATA_DIR}/glove.6B.zip" glove.6B.300d.txt -d "${DATA_DIR}"
+  }
+fi
 
 for SPLIT in train2017 val2017; do
   pids=()

@@ -5,10 +5,32 @@
 # embedding matrix. Expects flickr30k_images/ and results_20130124.token
 # (caption TSV) plus glove.6B.300d.txt under $1.
 set -euo pipefail
-DATA_DIR="${1:?usage: build_flickr30k_dataset.sh <flickr30k-dir> <output-dir> [num_procs]}"
+DOWNLOAD=0
+args=()
+for a in "$@"; do
+  [ "$a" = "--download" ] && DOWNLOAD=1 || args+=("$a")
+done
+set -- "${args[@]}"
+DATA_DIR="${1:?usage: build_flickr30k_dataset.sh <flickr30k-dir> <output-dir> [num_procs] [--download]}"
 OUT="${2:?output dir}"
 NPROC="${3:-10}"
 mkdir -p "${OUT}/ss_npy" "${OUT}/records"
+
+if [ "$DOWNLOAD" = 1 ]; then
+  # GloVe only: the Flickr30k images/captions require a signed agreement
+  # (no public URL — same limitation as the reference's instructions).
+  mkdir -p "${DATA_DIR}"
+  [ -f "${DATA_DIR}/glove.6B.300d.txt" ] || {
+    [ -f "${DATA_DIR}/glove.6B.zip" ] || wget -q -O "${DATA_DIR}/glove.6B.zip" \
+      "http://nlp.stanford.edu/data/glove.6B.zip"
+    unzip -q -n "${DATA_DIR}/glove.6B.zip" glove.6B.300d.txt -d "${DATA_DIR}"
+  }
+  if [ ! -d "${DATA_DIR}/flickr30k_images" ]; then
+    echo "NOTE: flickr30k_images/ + results_20130124.token must be" \
+         "obtained via the dataset's request form; --download only" \
+         "fetches GloVe." >&2
+  fi
+fi
 
 pids=()
 for ((i=0; i<NPROC; i++)); do

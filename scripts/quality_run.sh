@@ -1,0 +1,125 @@
+#!/bin/bash
+# Hardware quality-trajectory run (the strongest quality evidence this
+# sandbox permits — real datasets cannot ship here; BASELINE.md states
+# the remaining real-data gap):
+#
+#   rich multi-object synthetic scenes -> REAL C++ selective-search
+#   proposals -> TFRecords -> cli.train_main on the TPU at paper-config
+#   shapes (min-dim 1000 canvas, P<=500, 3 OICR iterations, crop 14)
+#   with the eval daemon polling checkpoints concurrently -> mAP-vs-step
+#   curve in eval_metrics.jsonl + TB events + best-ckpt promotion.
+#
+# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc]
+set -euo pipefail
+WORK="${1:?usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc]}"
+NUM_IMAGES="${2:-240}"
+MAX_STEPS="${3:-1500}"
+NPROC="${4:-1}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+mkdir -p "$WORK"
+
+# 1) scenes
+python tools/make_rich_synthetic_dataset.py --phase images \
+  --out "$WORK" --num_images "$NUM_IMAGES"
+
+# 2) real C++ selective-search proposals (restartable workers)
+pids=()
+for ((i=0; i<NPROC; i++)); do
+  python tools/create_selective_search_data.py \
+    --image_dir "$WORK/images" --output_dir "$WORK/ss_npy" \
+    --process_indicator "${i}/${NPROC}" --max_boxes 500 &
+  pids+=($!)
+done
+for pid in "${pids[@]}"; do wait "$pid"; done
+
+# 3) records + labels
+python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK"
+
+# 4) pipeline config (voc07-style shapes; groundtruth extractor reads
+#    the class names the captions carry, the exact-match contract)
+cat > "$WORK/pipeline.pbtxt" <<EOF
+train_reader {
+  cap2det_reader {
+    input_pattern: "$WORK/train.record"
+    is_training: true
+    shuffle_buffer_size: 64
+    batch_size: 2
+    image_resizer { keep_aspect_ratio_resizer { min_dimension: 1000 } }
+    preprocess_options { random_flip_left_right_prob: 0.5 }
+    max_num_proposals: 500
+    batch_resize_scale_value: 1.0
+    map_num_parallel_calls: 4
+  }
+}
+eval_reader {
+  cap2det_reader {
+    input_pattern: "$WORK/eval.record"
+    is_training: false
+    batch_size: 1
+    image_resizer { keep_aspect_ratio_resizer { min_dimension: 600 } }
+    max_num_proposals: 500
+  }
+}
+model {
+  [Cap2DetModel.ext] {
+    midn_loss_weight: 1.0
+    oicr_loss_weight: 0.5
+    frcnn_options {
+      feature_extractor { type: 'faster_rcnn_inception_v2' }
+      initial_crop_size: 14
+      maxpool_kernel_size: 2
+      maxpool_stride: 2
+      dropout_keep_prob: 0.8
+      dropout_on_feature_map: false
+    }
+    fc_hyperparams {
+      regularizer { l2_regularizer { weight: 0.000001 } }
+      initializer { truncated_normal_initializer { stddev: 0.01 } }
+    }
+    oicr_iterations: 3
+    oicr_iou_threshold: 0.5
+    eval_min_dimension: 400
+    eval_min_dimension: 600
+    midn_post_processor {
+      score_thresh: 0.00001 iou_thresh: 0.4
+      max_size_per_class: 20 max_total_size: 40
+    }
+    oicr_post_processor {
+      score_thresh: 0.00001 iou_thresh: 0.4
+      max_size_per_class: 20 max_total_size: 40
+    }
+    label_extractor { groundtruth_extractor { label_file: '$WORK/labels.txt' } }
+  }
+}
+train_config {
+  max_steps: $MAX_STEPS
+  learning_rate: 0.01
+  learning_rate_decay { decay_steps: 2000 decay_rate: 0.5 staircase: true }
+  optimizer { adagrad {} }
+  gradient_multiplier { scope: 'first_stage_feature_extraction' multiplier: 0.0 }
+  gradient_multiplier { scope: 'second_stage_feature_extraction' multiplier: 1.0 }
+  save_checkpoints_steps: 250
+  keep_checkpoint_max: 3
+  log_step_count_steps: 25
+}
+eval_config { steps: 36 }
+EOF
+
+MODEL_DIR="$WORK/model"
+mkdir -p "$MODEL_DIR"
+
+# 5) eval daemon polling concurrently (train/eval process split)
+python -m cap2det_tpu.cli.evaluate_main \
+  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  --max_eval_examples 36 --max_idle_polls 120 --poll_interval 20 \
+  > "$WORK/eval.log" 2>&1 &
+EVAL_PID=$!
+
+# 6) train on the chip
+python -m cap2det_tpu.cli.train_main \
+  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  > "$WORK/train.log" 2>&1
+
+wait "$EVAL_PID" || true
+echo "quality run done; curves: $MODEL_DIR/eval_metrics.jsonl"

@@ -1,0 +1,217 @@
+"""Rich multi-object synthetic scenes for the hardware quality run.
+
+Real datasets cannot ship in this sandbox, so the strongest available
+quality evidence is a WSOD training trajectory over scenes with real
+selective-search proposals (reference README.md:234-237 is the real-data
+target; BASELINE.md states the remaining gap). This generator produces
+scenes that exercise the actual learning problem:
+
+  * textured background (smoothed noise) — SS produces real segment
+    proposals, not one trivial box;
+  * 1-3 objects per scene from C = shape x color classes (rectangle /
+    ellipse / triangle), jittered intensity, occasional overlap;
+  * captions = filler words + the class names (exact-match extractable);
+  * ground truth recorded ONLY for eval — training uses captions, the
+    weak-supervision contract.
+
+Two phases (both restartable):
+  --phase images   write JPEGs + gt.jsonl into <out>/images, <out>/gt.jsonl
+  --phase records  read <ss_dir>/<id>.npy proposals + gt.jsonl ->
+                   sharded train/eval TFRecords + label file
+
+The selective-search step between them is the standard tool:
+  python tools/create_selective_search_data.py --image_dir <out>/images \
+      --output_dir <out>/ss_npy --process_indicator k/n
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cap2det_tpu.data import record_builder, synthetic, tfrecord  # noqa: E402
+
+SHAPES = ("rect", "ellipse", "triangle")
+COLORS = {
+    "red": (200, 50, 50),
+    "green": (55, 190, 60),
+    "blue": (50, 70, 200),
+}
+CLASSES = ["%s_%s" % (c, s) for c in COLORS for s in SHAPES]
+
+_FILLER = [
+    "a", "photo", "of", "the", "scene", "with", "some", "and", "small",
+    "large", "object", "objects", "next", "to", "background",
+]
+
+
+def _smooth_noise(rng, h, w, octaves=3):
+    acc = np.zeros((h, w), np.float32)
+    for o in range(octaves):
+        step = 2 ** (octaves - o + 2)
+        gh, gw = h // step + 2, w // step + 2
+        coarse = rng.uniform(0, 1, (gh, gw)).astype(np.float32)
+        ys = np.linspace(0, gh - 1.001, h)
+        xs = np.linspace(0, gw - 1.001, w)
+        yi, xi = ys.astype(int), xs.astype(int)
+        yf, xf = ys - yi, xs - xi
+        top = (coarse[yi][:, xi] * (1 - xf) + coarse[yi][:, xi + 1] * xf)
+        bot = (coarse[yi + 1][:, xi] * (1 - xf)
+               + coarse[yi + 1][:, xi + 1] * xf)
+        acc += (top * (1 - yf)[:, None] + bot * yf[:, None]) / (o + 1)
+    acc -= acc.min()
+    return acc / max(acc.max(), 1e-6)
+
+
+def _draw_object(image, rng, cls_name, box_px):
+    color, shape = cls_name.split("_")
+    base = np.array(COLORS[color], np.float32)
+    base = np.clip(base + rng.uniform(-30, 30, 3), 0, 255)
+    y0, x0, y1, x1 = box_px
+    hh, ww = y1 - y0, x1 - x0
+    yy, xx = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    cy, cx = (hh - 1) / 2.0, (ww - 1) / 2.0
+    if shape == "rect":
+        mask = np.ones((hh, ww), bool)
+    elif shape == "ellipse":
+        mask = ((yy - cy) / max(cy, 1)) ** 2 + (
+            (xx - cx) / max(cx, 1)) ** 2 <= 1.0
+    else:  # triangle (apex up)
+        mask = (yy / max(hh - 1, 1)) >= np.abs(xx - cx) / max(cx, 1)
+    shade = 1.0 + 0.25 * _smooth_noise(
+        np.random.default_rng(rng.integers(1 << 31)), hh, ww, octaves=2
+    )
+    patch = np.clip(base[None, None, :] * shade[:, :, None], 0, 255)
+    region = image[y0:y1, x0:x1]
+    region[mask] = patch[mask]
+
+
+def make_scene(rng, classes, image_hw):
+    h, w = image_hw
+    bg = _smooth_noise(rng, h, w)
+    base_tint = rng.uniform(90, 150, 3)
+    image = np.clip(
+        base_tint[None, None, :] + (bg[:, :, None] - 0.5) * 70
+        + rng.normal(0, 4, (h, w, 3)),
+        0, 255,
+    ).astype(np.float32)
+
+    n_obj = int(rng.integers(1, 4))
+    gt_boxes, gt_classes = [], []
+    for _ in range(n_obj):
+        cls = classes[int(rng.integers(len(classes)))]
+        bh = rng.uniform(0.2, 0.45) * h
+        bw = rng.uniform(0.2, 0.45) * w
+        y0 = rng.uniform(0, h - bh)
+        x0 = rng.uniform(0, w - bw)
+        box_px = (int(y0), int(x0), int(y0 + bh), int(x0 + bw))
+        _draw_object(image, rng, cls, box_px)
+        gt_boxes.append([
+            box_px[0] / h, box_px[1] / w, box_px[2] / h, box_px[3] / w,
+        ])
+        gt_classes.append(cls)
+    image = np.clip(image + rng.normal(0, 3, image.shape), 0, 255)
+    return image.astype(np.uint8), np.array(gt_boxes, np.float32), gt_classes
+
+
+def phase_images(args):
+    img_dir = os.path.join(args.out, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    gt_path = os.path.join(args.out, "gt.jsonl")
+    done = set()
+    if os.path.exists(gt_path):  # restartable
+        with open(gt_path) as fid:
+            done = {json.loads(l)["image_id"] for l in fid if l.strip()}
+    with open(gt_path, "a") as gt_fid:
+        for i in range(args.num_images):
+            image_id = "scene-%05d" % i
+            # Draw the scene unconditionally so the RNG stream (and thus
+            # every later scene) is identical across restarts.
+            image, boxes, classes = make_scene(
+                rng, CLASSES, (args.height, args.width)
+            )
+            if image_id in done:
+                continue
+            with open(os.path.join(img_dir, image_id + ".jpg"), "wb") as fid:
+                fid.write(synthetic.encode_jpeg(image))
+            gt_fid.write(json.dumps({
+                "image_id": image_id,
+                "boxes": boxes.tolist(),
+                "classes": classes,
+            }) + "\n")
+    print("images: %d scenes in %s" % (args.num_images, img_dir))
+
+
+def phase_records(args):
+    img_dir = os.path.join(args.out, "images")
+    ss_dir = args.ss_dir or os.path.join(args.out, "ss_npy")
+    rng = np.random.default_rng(args.seed + 1)
+    with open(os.path.join(args.out, "gt.jsonl")) as fid:
+        gt = [json.loads(l) for l in fid if l.strip()]
+    gt.sort(key=lambda r: r["image_id"])
+    n_eval = max(1, int(len(gt) * args.eval_fraction))
+    splits = {"eval": gt[:n_eval], "train": gt[n_eval:]}
+
+    label_file = synthetic.write_label_file(
+        os.path.join(args.out, "labels.txt"), CLASSES
+    )
+    for split, rows in splits.items():
+        path = os.path.join(args.out, "%s.record" % split)
+        n_props_total = 0
+        with tfrecord.TFRecordWriter(path) as writer:
+            for row in rows:
+                image_id = row["image_id"]
+                with open(os.path.join(img_dir, image_id + ".jpg"),
+                          "rb") as fid:
+                    encoded = fid.read()
+                props = np.load(os.path.join(ss_dir, image_id + ".npy"))
+                n_props_total += len(props)
+                captions = []
+                for _ in range(int(rng.integers(1, 3))):
+                    cap = list(rng.choice(_FILLER, size=3))
+                    for cls in set(row["classes"]):
+                        cap.append(cls)
+                    rng.shuffle(cap)
+                    captions.append(cap)
+                writer.write(record_builder.build_example(
+                    image_id,
+                    image_encoded=encoded,
+                    captions=captions,
+                    object_boxes=np.asarray(row["boxes"], np.float32),
+                    object_texts=row["classes"],
+                    object_labels=[
+                        CLASSES.index(c) + 1 for c in row["classes"]
+                    ],
+                    proposal_boxes=props,
+                ))
+        print("%s: %d examples, mean %.0f SS proposals -> %s" % (
+            split, len(rows), n_props_total / max(len(rows), 1), path,
+        ))
+    print("labels: %s" % label_file)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--phase", choices=["images", "records"],
+                        required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--num_images", type=int, default=300)
+    parser.add_argument("--height", type=int, default=320)
+    parser.add_argument("--width", type=int, default=448)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ss_dir", default=None)
+    parser.add_argument("--eval_fraction", type=float, default=0.15)
+    args = parser.parse_args()
+    if args.phase == "images":
+        phase_images(args)
+    else:
+        phase_records(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,11 @@ def main():
         help="Seconds between checkpoint polls (reference predict.py:610).",
     )
     parser.add_argument(
+        "--all_checkpoints", action="store_true",
+        help="Walk every retained checkpoint oldest-first (metric-vs-step "
+             "curve reconstruction) instead of polling only the latest.",
+    )
+    parser.add_argument(
         "--shard_indicator", default="",
         help="'k/n' hash-shard of the eval data (reference predict.py:539).",
     )
@@ -68,6 +73,7 @@ def main():
         max_idle_polls=0 if args.run_once else args.max_idle_polls,
         poll_interval_secs=args.poll_interval,
         evaluator_kind=args.evaluator,
+        evaluate_all=args.all_checkpoints,
     )
 
 

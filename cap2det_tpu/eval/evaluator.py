@@ -304,8 +304,18 @@ def continuous_evaluation(
     min_eval_steps=0,
     max_idle_polls=None,
     evaluator_kind="pascal",
+    evaluate_all=False,
 ):
-    """Checkpoint-polling evaluation daemon (reference predict.py:578-611)."""
+    """Checkpoint-polling evaluation daemon (reference predict.py:578-611).
+
+    With evaluate_all, each poll takes the OLDEST not-yet-evaluated
+    retained checkpoint instead of the newest — walking the whole
+    retained history to build a metric-vs-step curve after (or during)
+    training. The reference daemon only ever polls the latest; this mode
+    exists because a single exclusively-held chip cannot run train and
+    eval processes concurrently, so the curve is reconstructed
+    post-hoc from keep_checkpoint_max history.
+    """
     model_dir = model_dir or pipeline_config.model_dir
     model = registry.build(pipeline_config.model, is_training=False)
     saved_dir = os.path.join(model_dir, "saved_ckpts")
@@ -326,6 +336,7 @@ def continuous_evaluation(
             min_eval_steps=min_eval_steps,
             max_idle_polls=max_idle_polls,
             evaluator_kind=evaluator_kind,
+            evaluate_all=evaluate_all,
         )
     finally:
         # Close on EVERY exit path (exceptions, SIGTERM-as-exception):
@@ -347,6 +358,7 @@ def _poll_loop(
     min_eval_steps,
     max_idle_polls,
     evaluator_kind,
+    evaluate_all=False,
 ):
     evaluated = set()
     idle = 0
@@ -359,7 +371,14 @@ def _poll_loop(
             model, None, pipeline_config.eval_reader.cap2det_reader
         )
     while True:
-        step, path = ckpt_lib.latest_checkpoint(model_dir)
+        if evaluate_all:
+            step, path = None, None
+            for s_, p_ in ckpt_lib.list_checkpoints(model_dir):
+                if s_ not in evaluated and s_ >= min_eval_steps:
+                    step, path = s_, p_
+                    break
+        else:
+            step, path = ckpt_lib.latest_checkpoint(model_dir)
         if step is None or step in evaluated or step < min_eval_steps:
             idle += 1
             if max_idle_polls is not None and idle > max_idle_polls:

@@ -123,6 +123,15 @@ def latest_checkpoint(model_dir):
     return step, os.path.join(root, str(step))
 
 
+def list_checkpoints(model_dir):
+    """All retained checkpoints as ascending [(step, path), ...]."""
+    root = _ckpt_root(model_dir)
+    if not os.path.isdir(root):
+        return []
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    return [(s, os.path.join(root, str(s))) for s in steps]
+
+
 SAVED_INFO = "saved_info.txt"
 
 

@@ -5,9 +5,17 @@
 #
 #   rich multi-object synthetic scenes -> REAL C++ selective-search
 #   proposals -> TFRecords -> cli.train_main on the TPU at paper-config
-#   shapes (min-dim 1000 canvas, P<=500, 3 OICR iterations, crop 14)
-#   with the eval daemon polling checkpoints concurrently -> mAP-vs-step
-#   curve in eval_metrics.jsonl + TB events + best-ckpt promotion.
+#   shapes (min-dim 1000 canvas, P<=500, 3 OICR iterations, crop 14),
+#   then the eval daemon walks EVERY retained checkpoint
+#   (--all_checkpoints) -> mAP-vs-step curve in eval_metrics.jsonl + TB
+#   events + best-ckpt promotion.
+#
+# Train and eval run sequentially, not as concurrent processes: this
+# sandbox's single TPU chip is exclusively held by one process (probed:
+# a second JAX process hangs at init), so the reference's train/eval
+# process split — exercised for real on the CPU mesh in
+# tests/test_orchestration.py — is replaced here by post-hoc curve
+# reconstruction over keep_checkpoint_max history.
 #
 # Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc]
 set -euo pipefail
@@ -100,7 +108,7 @@ train_config {
   gradient_multiplier { scope: 'first_stage_feature_extraction' multiplier: 0.0 }
   gradient_multiplier { scope: 'second_stage_feature_extraction' multiplier: 1.0 }
   save_checkpoints_steps: 250
-  keep_checkpoint_max: 3
+  keep_checkpoint_max: 50
   log_step_count_steps: 25
 }
 eval_config { steps: 36 }
@@ -109,17 +117,16 @@ EOF
 MODEL_DIR="$WORK/model"
 mkdir -p "$MODEL_DIR"
 
-# 5) eval daemon polling concurrently (train/eval process split)
-python -m cap2det_tpu.cli.evaluate_main \
-  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
-  --max_eval_examples 36 --max_idle_polls 120 --poll_interval 20 \
-  > "$WORK/eval.log" 2>&1 &
-EVAL_PID=$!
-
-# 6) train on the chip
+# 5) train on the chip (exclusive holder)
 python -m cap2det_tpu.cli.train_main \
   --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
   > "$WORK/train.log" 2>&1
 
-wait "$EVAL_PID" || true
+# 6) walk every retained checkpoint -> mAP-vs-step curve
+python -m cap2det_tpu.cli.evaluate_main \
+  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  --max_eval_examples 36 --all_checkpoints --max_idle_polls 1 \
+  --poll_interval 1 \
+  > "$WORK/eval.log" 2>&1
+
 echo "quality run done; curves: $MODEL_DIR/eval_metrics.jsonl"

@@ -93,11 +93,22 @@ class MultiScalePredictor:
             )
             fy, fx = new_h / ch, new_w / cw
             scale_vec = np.array([fy, fx, fy, fx], np.float32)
+            pixels = canvas[None].astype(np.float16)
+            if canvas.shape[0] % 2 == 0 and canvas.shape[1] % 2 == 0:
+                # Host-side space-to-depth, matching the training feed
+                # (cap2det.device_batch): same bytes, and the stem runs
+                # the faster regrouped stride-1 conv. Canvas sides are
+                # multiples of 32, so this always applies.
+                b, h2, w2, c = pixels.shape
+                pixels = np.ascontiguousarray(
+                    pixels.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+                    .transpose(0, 1, 3, 2, 4, 5)
+                ).reshape(b, h2 // 2, w2 // 2, 4 * c)
             batch = {
                 # f16 pixels: halves the per-scale host->device transfer
                 # (the eval daemon's dominant cost on thin links); exact
                 # for 0-255 + bilinear fractions at bf16-conv precision.
-                "image": canvas[None].astype(np.float16),
+                "image": pixels,
                 "proposals": (props_true * scale_vec)[None],
                 "num_proposals": np.array([n_props], np.int32),
             }

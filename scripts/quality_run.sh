@@ -44,6 +44,15 @@ for pid in "${pids[@]}"; do wait "$pid"; done
 # 3) records + labels
 python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK"
 
+# 3b) warm-start backbone: the passthrough stand-in for the ImageNet
+#     checkpoint (zero-egress sandbox), loaded through the real
+#     --pretrained_checkpoint overlay path. Required: the voc07-style
+#     first-stage freeze below only makes sense over a warm start —
+#     freezing a RANDOM first stage trains against noise features
+#     (measured: mAP stays 0.0).
+[ -d "$WORK/passthrough_ckpt" ] || \
+  python tools/make_passthrough_checkpoint.py --output "$WORK/passthrough_ckpt"
+
 # 4) pipeline config (voc07-style shapes; groundtruth extractor reads
 #    the class names the captions carry, the exact-match contract)
 cat > "$WORK/pipeline.pbtxt" <<EOF
@@ -120,6 +129,7 @@ mkdir -p "$MODEL_DIR"
 # 5) train on the chip (exclusive holder)
 python -m cap2det_tpu.cli.train_main \
   --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  --pretrained_checkpoint "$WORK/passthrough_ckpt" \
   > "$WORK/train.log" 2>&1
 
 # 6) walk every retained checkpoint -> mAP-vs-step curve

@@ -98,46 +98,7 @@ eval_config { steps: 16 }
 """
 
 
-def _passthrough_conv(shape):
-    w = np.zeros(shape, np.float32)
-    kh, kw, cin, cout = shape
-    for o in range(cout):
-        w[kh // 2, kw // 2, o % cin, o] = 1.0
-    return w
-
-
-def _passthrough_depthwise(shape):
-    w = np.zeros(shape, np.float32)
-    kh, kw, _, _ = shape
-    w[kh // 2, kw // 2, :, :] = 1.0
-    return w
-
-
-def make_passthrough(tree):
-    """Spatially-local backbone weights: center-tap channel-cycling convs,
-    neutral BatchNorm (see module docstring)."""
-    if not isinstance(tree, dict):
-        return tree
-    out = {}
-    for k, v in tree.items():
-        a = np.asarray(v) if not isinstance(v, dict) else None
-        if k == "weights":
-            out[k] = _passthrough_conv(a.shape)
-        elif k == "depthwise_weights":
-            out[k] = _passthrough_depthwise(a.shape)
-        elif k == "pointwise_weights":
-            out[k] = _passthrough_conv(a.shape)
-        elif k == "BatchNorm":
-            out[k] = {
-                "beta": np.zeros_like(np.asarray(v["beta"])),
-                "moving_mean": np.zeros_like(np.asarray(v["moving_mean"])),
-                "moving_variance": np.ones_like(
-                    np.asarray(v["moving_variance"])
-                ),
-            }
-        else:
-            out[k] = make_passthrough(v)
-    return out
+from cap2det_tpu.utils.passthrough_init import make_passthrough  # noqa: E402
 
 
 @pytest.mark.slow

@@ -172,3 +172,15 @@ def test_window_tier_invariants():
         assert 0 < win < width
         assert (width - win) % 8 == 0
         assert win >= 24
+
+
+def test_estimate_flops_scales():
+    """bench.py's Pallas FLOP accounting: positive, linear in proposals,
+    and bwd strictly costlier than fwd."""
+    from cap2det_tpu.kernels import roi_pool
+
+    a = roi_pool.estimate_flops(2, 500, 64, 96, 576, 14)
+    b = roi_pool.estimate_flops(2, 1000, 64, 96, 576, 14)
+    assert a["fwd"] > 0 and a["bwd"] > a["fwd"]
+    assert abs(b["fwd"] / a["fwd"] - 2.0) < 0.02  # linear in P (mod pad)
+    assert abs(b["bwd"] / a["bwd"] - 2.0) < 0.02

@@ -99,11 +99,11 @@ class MultiScalePredictor:
                 # (cap2det.device_batch): same bytes, and the stem runs
                 # the faster regrouped stride-1 conv. Canvas sides are
                 # multiples of 32, so this always applies.
-                b, h2, w2, c = pixels.shape
+                from cap2det_tpu.models import inception_v2
+
                 pixels = np.ascontiguousarray(
-                    pixels.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
-                    .transpose(0, 1, 3, 2, 4, 5)
-                ).reshape(b, h2 // 2, w2 // 2, 4 * c)
+                    inception_v2.space_to_depth(pixels)
+                )
             batch = {
                 # f16 pixels: halves the per-scale host->device transfer
                 # (the eval daemon's dominant cost on thin links); exact
@@ -398,8 +398,20 @@ def _poll_loop(
             continue
         idle = 0
         manager = ckpt_lib.CheckpointManager(model_dir)
-        state = manager.restore(step=step)
-        manager.close()
+        try:
+            state = manager.restore(step=step)
+        except Exception as exc:  # noqa: BLE001
+            # Races the trainer's checkpoint GC (max_to_keep) when used
+            # during training — especially evaluate_all, whose
+            # oldest-first target is exactly the next deletion victim.
+            # A deleted checkpoint never comes back: mark it evaluated
+            # and move on instead of dying mid-curve.
+            log.warning("checkpoint %s vanished before restore (%s); "
+                        "skipping", step, exc)
+            evaluated.add(step)
+            continue
+        finally:
+            manager.close()
         # Evaluate the moving average when present (swapping-saver parity).
         params = state["ema"] if "ema" in state else state["params"]
 

@@ -94,6 +94,8 @@ class Cap2DetModel:
     # -- batches ----------------------------------------------------------------
 
     def device_batch(self, host_batch):
+        from cap2det_tpu.models import inception_v2
+
         image = np.asarray(host_batch[InputFields.image], np.float16)
         if image.shape[-1] == 3 and image.shape[1] % 2 == 0 \
                 and image.shape[2] % 2 == 0:
@@ -102,15 +104,10 @@ class Cap2DetModel:
             # as the 2.2x-faster regrouped stride-1 conv with NO on-device
             # repacking transpose (inception_v2._s2d_pack_weights; the
             # device-side packing variant measured a net loss,
-            # BENCH_NOTES.md round 3). numpy twin of
-            # inception_v2.space_to_depth; one extra host copy, done in
-            # the feed thread (production hosts fold it into the
-            # pipeline's parallel workers).
-            b, h, w, c = image.shape
-            image = np.ascontiguousarray(
-                image.reshape(b, h // 2, 2, w // 2, 2, c)
-                .transpose(0, 1, 3, 2, 4, 5)
-            ).reshape(b, h // 2, w // 2, 4 * c)
+            # BENCH_NOTES.md round 3). One extra host copy, done in the
+            # feed thread (production hosts fold it into the pipeline's
+            # parallel workers).
+            image = np.ascontiguousarray(inception_v2.space_to_depth(image))
         return {
             # Pixels ship as float16: exact for 0-255 integers and well
             # beyond the bf16 precision the convs run at, and it halves

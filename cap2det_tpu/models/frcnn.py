@@ -115,7 +115,10 @@ def extract_features(
 
     s = rois.shape[2]
     rois = rois.reshape(batch * num_proposals, s, s, rois.shape[-1])
-    if second_stage_chunk and rois.shape[0] % second_stage_chunk != 0:
+    if (second_stage_chunk and rois.shape[0] > second_stage_chunk
+            and rois.shape[0] % second_stage_chunk != 0):
+        # Only when chunking would actually engage: a smaller-than-chunk
+        # batch legitimately runs unchunked.
         raise ValueError(
             "second_stage_chunk=%d does not divide batch*num_proposals=%d"
             % (second_stage_chunk, rois.shape[0])

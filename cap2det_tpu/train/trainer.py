@@ -205,12 +205,35 @@ def train(
         # say so loudly (sampling-with-replacement semantics across
         # hosts — statistically fine for shuffled training, but set
         # shard_indicator for a true partition).
+        shard_distinct = False
         if reader.cap2det_reader.shard_indicator:
-            log.info(
-                "multi-host: per-process data from shard_indicator %r",
-                reader.cap2det_reader.shard_indicator,
+            # The common launch reuses ONE pipeline.pbtxt on every host,
+            # so a static shard_indicator means every process filters to
+            # the SAME shard — verify actual distinctness by comparing
+            # the shard numerators across processes before trusting it
+            # as a partition.
+            from jax.experimental import multihost_utils
+
+            numer = int(
+                reader.cap2det_reader.shard_indicator.split("/")[0]
             )
-        else:
+            numers = np.asarray(multihost_utils.process_allgather(
+                np.array([numer], np.int32)
+            )).reshape(-1)
+            shard_distinct = len(set(numers.tolist())) == len(numers)
+            if shard_distinct:
+                log.info(
+                    "multi-host: per-process data from shard_indicator %r",
+                    reader.cap2det_reader.shard_indicator,
+                )
+            else:
+                log.warning(
+                    "shard_indicator %r numerators are not distinct across "
+                    "processes (%s) — not a data partition; falling "
+                    "back to per-process seed decorrelation",
+                    reader.cap2det_reader.shard_indicator, numers.tolist(),
+                )
+        if not shard_distinct:
             pipe_seed = seed + 7919 * jax.process_index()
             log.warning(
                 "multi-host training without train_reader.shard_indicator: "

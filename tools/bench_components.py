@@ -97,16 +97,27 @@ def main():
     h, w = CANVAS_HW
     y0 = rs.uniform(0, 0.5, (BATCH, num_proposals))
     x0 = rs.uniform(0, 0.5, (BATCH, num_proposals))
-    batch = {
-        "image": rs.uniform(0, 255, (BATCH, h, w, 3)).astype(np.float32),
-        "proposals": np.stack(
+    from cap2det_tpu.fields import InputFields
+
+    # Through model.device_batch (f16 + host space-to-depth packing) so
+    # every component — first_stage, features, train_step — times the
+    # production feed path, same as bench.py and the trainer.
+    host_batch = {
+        InputFields.image: rs.uniform(
+            0, 255, (BATCH, h, w, 3)
+        ).astype(np.float32),
+        InputFields.proposals: np.stack(
             [y0, x0, y0 + rs.uniform(0.1, 0.5, (BATCH, num_proposals)),
              x0 + rs.uniform(0.1, 0.5, (BATCH, num_proposals))], -1
         ).astype(np.float32),
-        "num_proposals": np.full((BATCH,), num_proposals, np.int32),
-        "labels": (rs.rand(BATCH, NUM_CLASSES) < 0.05).astype(np.float32),
+        InputFields.num_proposals: np.full(
+            (BATCH,), num_proposals, np.int32
+        ),
+        InputFields.pseudo_labels: (
+            rs.rand(BATCH, NUM_CLASSES) < 0.05
+        ).astype(np.float32),
     }
-    batch = jax.device_put(batch)
+    batch = jax.device_put(model.device_batch(host_batch))
     step_rng = jax.random.PRNGKey(1)
 
     params = state["params"]

@@ -69,8 +69,6 @@ def extract_features(
         are lax.map'ed over a static reshape) — raises otherwise.
     """
     if use_pallas is None:
-        import jax
-
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and (
         options.maxpool_stride != options.maxpool_kernel_size
@@ -159,8 +157,6 @@ def load_pretrained(params, converted_checkpoint):
     tools/convert_tf_checkpoint.py; first-stage layers take the stem +
     Mixed_3*/4* subtree, second stage takes Mixed_5*.
     """
-    import jax
-
     src = converted_checkpoint["InceptionV2"]
     out = jax.tree.map(lambda x: x, params)  # shallow copy-by-structure
 

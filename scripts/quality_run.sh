@@ -17,12 +17,23 @@
 # tests/test_orchestration.py — is replaced here by post-hoc curve
 # reconstruction over keep_checkpoint_max history.
 #
-# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc]
+# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor]
+#   extractor: groundtruth (default) reads the class names the captions
+#   carry through object_texts; exact_match runs the caption-token path —
+#   labels extracted from the caption token ids alone (the paper's
+#   Cap2Det contract, reference models/label_extractor.py:124-150).
 set -euo pipefail
-WORK="${1:?usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc]}"
+WORK="${1:?usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor]}"
 NUM_IMAGES="${2:-240}"
 MAX_STEPS="${3:-1500}"
 NPROC="${4:-1}"
+EXTRACTOR="${5:-groundtruth}"
+case "$EXTRACTOR" in
+  groundtruth) EXTRACTOR_LINE="groundtruth_extractor { label_file: '__WORK__/labels.txt' }" ;;
+  exact_match) EXTRACTOR_LINE="exact_match_extractor { label_file: '__WORK__/labels.txt' }" ;;
+  *) echo "unknown extractor: $EXTRACTOR" >&2; exit 2 ;;
+esac
+EXTRACTOR_LINE="${EXTRACTOR_LINE/__WORK__/$WORK}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p "$WORK"
@@ -106,7 +117,7 @@ model {
       score_thresh: 0.00001 iou_thresh: 0.4
       max_size_per_class: 20 max_total_size: 40
     }
-    label_extractor { groundtruth_extractor { label_file: '$WORK/labels.txt' } }
+    label_extractor { $EXTRACTOR_LINE }
   }
 }
 train_config {

@@ -177,6 +177,46 @@ def main():
                         sync_scalarize),
         )
 
+    # -- first stage fwd+bwd in the bench train regime (Mixed_4e trainable,
+    #    everything below frozen): the cost the train step actually pays
+    #    for the first stage, fwd + dW of Mixed_4e ----------------------
+    if enabled("first_stage_fwdbwd_4e"):
+        def fs_loss(p, im):
+            def keep(path, leaf):
+                return (
+                    leaf
+                    if "Mixed_4e" in "/".join(str(k) for k in path)
+                    else jax.lax.stop_gradient(leaf)
+                )
+            p = jax.tree_util.tree_map_with_path(
+                keep, p[frcnn.FIRST_SCOPE]
+            )
+            out = inception_v2.first_stage(p, inception_v2.preprocess(im))
+            return jnp.sum(out.astype(jnp.float32))
+
+        gfs = jax.jit(jax.grad(fs_loss))
+        record(
+            "first_stage_fwdbwd_4e",
+            _slope_time(gfs, (params, batch["image"]), n2, sync_scalarize),
+        )
+
+    # -- optimizer update alone (tx.update + apply_updates on the real
+    #    param/grad tree): the non-model part of the train step ---------
+    if enabled("optimizer"):
+        import optax
+
+        grads0 = jax.tree.map(jnp.zeros_like, state["params"])
+
+        def opt_only(st, g):
+            updates, _ = tx.update(g, st["opt_state"], st["params"])
+            return optax.apply_updates(st["params"], updates)
+
+        gopt = jax.jit(opt_only)
+        record(
+            "optimizer",
+            _slope_time(gopt, (state, grads0), n2, sync_scalarize),
+        )
+
     # -- ROI crop+pool: pallas vs XLA ------------------------------------
     boxes = batch["proposals"]
     if enabled("roi_pallas") and backend == "tpu":

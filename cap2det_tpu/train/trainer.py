@@ -55,9 +55,28 @@ class TrainState:
             "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32),
         }
-        if train_config.has_field("moving_average_decay"):
+        if _ema_decay(train_config) is not None:
             state["ema"] = optimizers.ema_init(params)
         return state, tx, schedule, mask
+
+
+def _ema_decay(train_config):
+    """Effective moving-average decay, or None when disabled.
+
+    The reference wraps the optimizer in MovingAverageOptimizer whenever
+    the field is SET (reference train/trainer.py:98-100) — and every
+    shipped config sets it to 0.0, where the TF shadow update
+    `shadow -= (1-decay)*(shadow-var)` makes the shadow equal the
+    variable after every step. Maintaining a second param tree that is
+    bit-identical to the live one is pure overhead (a full param-tree
+    copy per step), so decay == 0.0 is elided here: eval_params serves
+    the live params, which is exactly what the swapping saver would
+    have checkpointed.
+    """
+    if not train_config.has_field("moving_average_decay"):
+        return None
+    decay = train_config.moving_average_decay
+    return decay if decay > 0.0 else None
 
 
 def make_train_step(model, tx, train_config, trainable_mask=None,
@@ -75,11 +94,7 @@ def make_train_step(model, tx, train_config, trainable_mask=None,
     psum-averaged across the axis before the optimizer update, the SPMD
     replacement for the reference's parameter-server aggregation.
     """
-    ema_decay = (
-        train_config.moving_average_decay
-        if train_config.has_field("moving_average_decay")
-        else None
-    )
+    ema_decay = _ema_decay(train_config)
 
     def train_step(state, batch, rng):
         params = state["params"]

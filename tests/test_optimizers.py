@@ -138,6 +138,27 @@ def test_frozen_leaves_untouched():
     assert np.any(np.asarray(updates["midn"]["weights"]) != 0.0)
 
 
+def test_ema_decay_gate():
+    """decay 0.0 (every shipped config) elides the EMA tree; a real
+    decay keeps it, with new_ema = d*ema + (1-d)*params."""
+    from cap2det_tpu.train import trainer as trainer_lib
+
+    cfg0 = _train_config("adagrad {}", "moving_average_decay: 0.0")
+    assert trainer_lib._ema_decay(cfg0) is None
+
+    cfg9 = _train_config("adagrad {}", "moving_average_decay: 0.9")
+    assert trainer_lib._ema_decay(cfg9) == pytest.approx(0.9)
+
+    ema = {"w": jnp.zeros((3,))}
+    params = {"w": jnp.ones((3,))}
+    out = optimizers.ema_update(ema, params, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+    # unset field -> disabled despite the schema default 0.999
+    cfg_unset = _train_config("adagrad {}")
+    assert trainer_lib._ema_decay(cfg_unset) is None
+
+
 def test_fused_under_jit_and_donation():
     """The fused update works inside a jitted step with donated state."""
     rng = np.random.default_rng(2)

@@ -98,7 +98,7 @@ def main():
             "opt_state": tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        if train_config.has_field("moving_average_decay"):
+        if trainer_lib._ema_decay(train_config) is not None:
             state["ema"] = optimizers.ema_init(params)
 
         # Undonated jit: the timed call must be repeatable on the same

@@ -104,7 +104,7 @@ def build_optimizer(
     params,
     non_trainable_paths=(),
     non_trainable_substrings=(),
-    fused=True,
+    fused=None,
 ):
     """Builds (optimizer, trainable_mask) for a params pytree.
 
@@ -124,6 +124,12 @@ def build_optimizer(
     3.9 ms -> sub-ms for the bench-shape Adagrad update (62 trainable
     leaves, 7.4M params) whose per-leaf op dispatch dominated.
     """
+    if fused is None:
+        # A/B diagnostic knob; the fused path is the default.
+        import os as _os
+
+        fused = _os.environ.get("CAP2DET_FUSED_OPT", "1") != "0"
+
     schedule = build_learning_rate_schedule(train_config)
     base = build_base_optimizer(train_config.optimizer, schedule)
 

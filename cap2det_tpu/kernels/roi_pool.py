@@ -26,13 +26,19 @@ plus the pooled outputs — speed-of-light for this op.
 The backward kernel recomputes the crop (cheap), routes the pooled
 gradient through the max mask, and accumulates dF in float32 across the
 P grid axis (dF block index also constant in P: accumulate in VMEM,
-write back once). Proposal boxes receive no gradient — they are data
-(the reference's proposals come straight from the reader).
+write back once). The default accumulation ("cat", round 4) stages each
+proposal's x-scattered gradient slab contiguously and lands the whole
+group's dF contribution in one concatenated interp-matrix matmul — one
+[H, W, CB] block RMW per 8 proposals instead of 8*S two-row RMWs
+(19.2 -> 14.5 ms fwd+bwd at bench shapes; CAP2DET_ROI_BWD=scatter keeps
+the sparse form for A/B). Proposal boxes receive no gradient — they are
+data (the reference's proposals come straight from the reader).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -299,6 +305,103 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
         _scatter(dcrop)
 
 
+def _bwd_kernel_cat(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref,
+                    tmp_ref, dtmp_ref, *, crop_size, pool_kernel, pool_stride,
+                    group, window):
+    """Hybrid backward: slice-windowed recompute, concatenated dF matmul.
+
+    Same crop recompute + first-tie routing + per-proposal x-dot as
+    `_bwd_kernel`, but instead of 2*S sparse row RMWs per proposal the
+    per-proposal dtmp slabs are staged contiguously ([W, G*S, CB], plain
+    stores) and the group's whole dF contribution lands in ONE matmul
+
+      dF[h, w, c] += sum_gs Wy_cat[gs, h] * dtmp[w, gs, c]
+
+    i.e. one [H, W*CB] block read-modify-write per `group` proposals
+    (~3 MB) instead of group*S two-row RMWs (~22 MB) — the mm backward's
+    accumulation scheme without the mm forward's slow matmul recompute.
+    Never measured before round 4 (the r2/r3 dense-scatter negatives were
+    per-proposal dense matmuls or the full-mm kernel; BENCH_NOTES.md).
+    """
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    pooled_size = (s - pool_kernel) // pool_stride + 1
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    wy_rows = []
+    for gi in range(group):
+        p = p_base + gi
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+        ys = _sample_coords(y1, y2, s, height)
+        xs = _sample_coords(x1, x2, s, width)
+        x_idx = xs[0]
+
+        # Recompute the crop (same windowed branch as the forward).
+        if window is None:
+            _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                       width, s)
+        else:
+            x0, narrow = _narrow_window(x_idx, s, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, window,
+                           width, s)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
+                           width, s)
+
+        # First-tie max routing (TF MaxPoolGrad semantics; see _bwd_kernel).
+        crop = crop_ref[...]
+        windows = crop.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+        )
+        maxima = jnp.max(windows, axis=(1, 3))
+        g = grad_ref[0, gi, :, :, :].astype(jnp.float32)
+        taken = jnp.zeros_like(maxima, dtype=jnp.float32)
+        pieces = {}
+        for ky in range(pool_kernel):
+            for kx in range(pool_kernel):
+                hit = (
+                    (windows[:, ky, :, kx, :] >= maxima).astype(jnp.float32)
+                    * (1.0 - taken)
+                )
+                pieces[(ky, kx)] = g * hit
+                taken = jnp.maximum(taken, hit)
+        dwindows = jnp.stack(
+            [
+                jnp.stack(
+                    [pieces[(ky, kx)] for kx in range(pool_kernel)], axis=2
+                )
+                for ky in range(pool_kernel)
+            ],
+            axis=1,
+        )
+        dcrop = dwindows.reshape(s, s, cb)
+
+        # x-interp dot, staged into this proposal's dtmp slab (no RMW).
+        wx = _interp_matrix(x1, x2, s, width)  # [S, W]
+        dtmp_ref[:, gi * s:(gi + 1) * s, :] = jax.lax.dot_general(
+            wx, dcrop,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtmp_ref.dtype)  # [W, S, CB]
+        wy_rows.append(_interp_matrix(y1, y2, s, height))
+
+    wy_cat = jnp.concatenate(wy_rows, axis=0)  # [G*S, H]
+    dfeat_ref[0] += jax.lax.dot_general(
+        wy_cat, dtmp_ref[...],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, W, CB]
+
+
 def _fwd_kernel_mm(boxes_ref, feat_ref, out_ref, tmp_ref, *,
                    crop_size, pool_kernel, pool_stride, group):
     """Matmul formulation: crop = Wy @ F @ Wx^T with the y-interpolation
@@ -449,12 +552,19 @@ def estimate_flops(batch, num_proposals, height, width, channels,
 
     # Backward: crop recompute + first-tie routing (~2 passes over the
     # k^2 window grid) + the x-interp dot_general
-    # ([S,W] x [S,S,CB] contracting S) + the sparse 2-row y-scatter.
+    # ([S,W] x [S,S,CB] contracting S) + the dF accumulation. The default
+    # "cat" variant lands dF via a dense concatenated matmul
+    # ([G*S, H] x [W, G*S, CB] -> 2*S*H*W flops per proposal-channel —
+    # executed MXU flops, deliberately counted even though the scatter
+    # form needs algorithmically fewer); "scatter" does sparse 2-row RMWs.
     routing = 2.0 * s * s * pool_kernel * pool_kernel
     x_dot = 2.0 * s * s * width
-    y_scatter = 3.0 * 2.0 * s * width  # scatter always runs full-width
+    if os.environ.get("CAP2DET_ROI_BWD", "cat") == "cat":
+        y_acc = 2.0 * s * height * width
+    else:
+        y_acc = 3.0 * 2.0 * s * width  # scatter always runs full-width
     bwd = batch * p_pad * c_pad * (
-        per_prop_crop + pool + routing + x_dot + y_scatter
+        per_prop_crop + pool + routing + x_dot + y_acc
     )
     return {"fwd": float(fwd), "bwd": float(bwd)}
 
@@ -656,15 +766,45 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
+    # "cat" stages per-proposal dtmp slabs and lands the group's dF in
+    # one concatenated matmul (see _bwd_kernel_cat) — 19.2 -> 14.5 ms
+    # fwd+bwd at bench shapes (BENCH_NOTES.md round 4); "scatter" is the
+    # sparse 2-row RMW form, kept selectable for A/B. Read at trace time.
+    variant = os.environ.get("CAP2DET_ROI_BWD", "cat")
     grid = (batch, channels // cb, num_p // group)
-    kernel = functools.partial(
-        _bwd_kernel,
-        crop_size=crop_size,
-        pool_kernel=pool_kernel,
-        pool_stride=pool_stride,
-        group=group,
-        window=_window_tier(width),
-    )
+    if variant == "cat":
+        kernel = functools.partial(
+            _bwd_kernel_cat,
+            crop_size=crop_size,
+            pool_kernel=pool_kernel,
+            pool_stride=pool_stride,
+            group=group,
+            window=_window_tier(width),
+        )
+        scratch = [
+            pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, group * crop_size, cb), jnp.float32),
+        ]
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )
+    else:
+        kernel = functools.partial(
+            _bwd_kernel,
+            crop_size=crop_size,
+            pool_kernel=pool_kernel,
+            pool_stride=pool_stride,
+            group=group,
+            window=_window_tier(width),
+        )
+        scratch = [
+            pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+        ]
+        params = {}
     dfeat = pl.pallas_call(
         kernel,
         grid=grid,
@@ -682,11 +822,9 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
         out_shape=jax.ShapeDtypeStruct(
             (batch, height, width, channels), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
-            pltpu.VMEM((width, crop_size, cb), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
+        **params,
     )(jnp.transpose(boxes, (0, 2, 1)), features, grad)
     return dfeat[..., :orig_channels].astype(features.dtype)
 

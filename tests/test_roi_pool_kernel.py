@@ -184,3 +184,23 @@ def test_estimate_flops_scales():
     assert a["fwd"] > 0 and a["bwd"] > a["fwd"]
     assert abs(b["fwd"] / a["fwd"] - 2.0) < 0.02  # linear in P (mod pad)
     assert abs(b["bwd"] / a["bwd"] - 2.0) < 0.02
+
+
+def test_cat_backward_matches_scatter(monkeypatch):
+    """The round-4 concatenated-matmul dF accumulation (default) must be
+    numerically equivalent to the sparse 2-row scatter form it replaced
+    (CAP2DET_ROI_BWD=scatter) — same routing, different summation order."""
+    features, boxes = _random_case(7, num_p=11, h=20, w=24, c=16)
+    g_target = np.random.RandomState(8).randn(2, 11, 3, 3, 16).astype(
+        np.float32
+    )
+
+    def loss(f):
+        out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
+        return jnp.sum(out * g_target)
+
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "cat")
+    g_cat = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
+    g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    np.testing.assert_allclose(g_cat, g_scatter, rtol=1e-4, atol=1e-4)

@@ -402,6 +402,61 @@ def _bwd_kernel_cat(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref,
     )  # [H, W, CB]
 
 
+def _fwd_kernel_ymm(boxes_ref, feat_ref, out_ref, tmp_cat_ref, tmp_ref, *,
+                    crop_size, pool_kernel, pool_stride, group):
+    """Hybrid forward: concatenated y-interp MXU matmul + slice x-pass.
+
+    The r4 "cat" backward showed the group-concatenated interp dot
+    ([G*S, H] x [H, W*CB]) beats per-row VPU lerps when the scratch is
+    f32 with plain stores; this forward applies the same trade to the
+    y-pass — ONE dot computes all `group` proposals' y-interpolated rows
+    — then transposes each proposal's slab to the [W, S, CB] layout and
+    finishes with the 2-sparse dynamic-slice x-pass + max-pool of the
+    slice kernel (the full-mm x-dot at M=S=14 wastes 8/9 of the MXU rows
+    and lost in round 3; BENCH_NOTES.md).
+    """
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    pooled_size = (s - pool_kernel) // pool_stride + 1
+
+    coords = [
+        tuple(boxes_ref[0, k, p_base + g] for k in range(4))
+        for g in range(group)
+    ]
+    wy_cat = jnp.concatenate(
+        [_interp_matrix(c[0], c[2], s, height) for c in coords], axis=0
+    )  # [G*S, H]
+    tmp_cat_ref[...] = jax.lax.dot_general(
+        wy_cat, feat_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G*S, W, CB]
+
+    for g in range(group):
+        # Relayout this proposal's slab for the x-pass: dynamic 2-row
+        # slices need W on the untiled leading dim (see _crop_pass).
+        tmp_ref[...] = jnp.swapaxes(tmp_cat_ref[g * s:(g + 1) * s], 0, 1)
+        x_idx, x_frac, x_in = _sample_coords(
+            coords[g][1], coords[g][3], s, width
+        )
+        crop_rows = []
+        for j in range(s):
+            cols = tmp_ref[pl.ds(x_idx[j], 2), :, :]
+            w = x_in[j]
+            crop_rows.append(
+                cols[0] * ((1.0 - x_frac[j]) * w)
+                + cols[1] * (x_frac[j] * w)
+            )  # [S_y, CB]
+        crop = jnp.stack(crop_rows, axis=1)  # [S_y, S_x, CB]
+        windows = crop.reshape(
+            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+        )
+        out_ref[0, g, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(
+            out_ref.dtype
+        )
+
+
 def _fwd_kernel_mm(boxes_ref, feat_ref, out_ref, tmp_ref, *,
                    crop_size, pool_kernel, pool_stride, group):
     """Matmul formulation: crop = Wy @ F @ Wx^T with the y-interpolation
@@ -642,6 +697,56 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
     return out[:, :orig_p, :, :, :orig_channels]
 
 
+def _forward_ymm(features, boxes, crop_size, pool_kernel, pool_stride,
+                 channel_block, interpret, group):
+    if features.shape[1] < 2 or features.shape[2] < 2:
+        raise ValueError(
+            "roi_crop_maxpool needs a feature map of at least 2x2; got %s"
+            % (features.shape,)
+        )
+    orig_channels = features.shape[-1]
+    features = _pad_channels(features, channel_block)
+    batch, height, width, channels = features.shape
+    orig_p = boxes.shape[1]
+    boxes = _pad_proposals(boxes, group)
+    num_p = boxes.shape[1]
+    cb = channel_block
+    pooled = (crop_size - pool_kernel) // pool_stride + 1
+
+    grid = (batch, channels // cb, num_p // group)
+    kernel = functools.partial(
+        _fwd_kernel_ymm,
+        crop_size=crop_size,
+        pool_kernel=pool_kernel,
+        pool_stride=pool_stride,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_p, pooled, pooled, channels), features.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group * crop_size, width, cb), jnp.float32),
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(jnp.transpose(boxes, (0, 2, 1)), features)
+    return out[:, :orig_p, :, :, :orig_channels]
+
+
 def _forward_mm(features, boxes, crop_size, pool_kernel, pool_stride,
                 channel_block, interpret, group):
     if features.shape[1] < 2 or features.shape[2] < 2:
@@ -659,10 +764,15 @@ def _forward_mm(features, boxes, crop_size, pool_kernel, pool_stride,
     pooled = (crop_size - pool_kernel) // pool_stride + 1
     # bf16 interpolation intermediates when the features are bf16 (the
     # training path): halves the VMEM scratch; the dots still accumulate
-    # in f32 via preferred_element_type.
+    # in f32 via preferred_element_type. CAP2DET_ROI_MM_SCRATCH=f32
+    # forces f32 scratch for A/B (the slice kernel's bf16-scratch
+    # negative, BENCH_NOTES.md r4 item 6, suggests bf16 pack/unpack may
+    # be part of the r3 mm negative too).
     tmp_dtype = (
         jnp.bfloat16 if features.dtype == jnp.bfloat16 else jnp.float32
     )
+    if os.environ.get("CAP2DET_ROI_MM_SCRATCH") == "f32":
+        tmp_dtype = jnp.float32
 
     grid = (batch, channels // cb, num_p // group)
     kernel = functools.partial(
@@ -844,15 +954,15 @@ def roi_crop_maxpool(features, boxes, crop_size, pool_kernel=2,
       proposals_per_program: grid-granularity knob; P is zero-padded to a
         multiple. With impl="mm" this is also the y-matmul's M-dimension
         batching factor (8 * S=14 -> M=112, near the MXU's 128 rows).
-      impl: "slice" (2-sparse dynamic-slice lerps — fastest measured;
-        the kernel is VPU-bound, see BENCH_NOTES.md round 3) or "mm"
-        (grouped interp-matrix matmuls at M=group*S; measured 2x slower
-        despite the better MXU shape — recorded negative result).
+      impl: "slice" (2-sparse dynamic-slice lerps), "mm" (grouped
+        interp-matrix matmuls at M=group*S; measured 2x slower in r3 —
+        recorded negative result), or "ymm" (hybrid: concatenated
+        y-interp matmul + slice x-pass; see _fwd_kernel_ymm).
 
     Returns:
       [B, P, S', S', C] pooled crops, S' = (S - pool_kernel)//pool_stride + 1.
     """
-    fwd = _forward_mm if impl == "mm" else _forward
+    fwd = {"mm": _forward_mm, "ymm": _forward_ymm}.get(impl, _forward)
     return fwd(
         features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
         interpret, proposals_per_program,
@@ -861,7 +971,7 @@ def roi_crop_maxpool(features, boxes, crop_size, pool_kernel=2,
 
 def _fwd(features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
          interpret, proposals_per_program, impl):
-    fwd = _forward_mm if impl == "mm" else _forward
+    fwd = {"mm": _forward_mm, "ymm": _forward_ymm}.get(impl, _forward)
     out = fwd(
         features, boxes, crop_size, pool_kernel, pool_stride, channel_block,
         interpret, proposals_per_program,

@@ -36,6 +36,22 @@ def test_forward_matches_xla(crop_size):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["ymm", "mm"])
+def test_forward_alt_impls_match_xla(impl):
+    """The recorded-negative matmul forward variants (BENCH_NOTES.md r3
+    item 2, r4 item 14) stay selectable and correct."""
+    features, boxes = _random_case(4, num_p=9)
+    ours = np.asarray(
+        roi_pool.roi_crop_maxpool(
+            features, boxes, 6, 2, 2, interpret=True, impl=impl
+        )
+    )
+    ref = np.asarray(
+        roi_ops.crop_resize_maxpool(features, boxes, 6, 2, 2)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_forward_outside_boxes_zero():
     features, _ = _random_case(1)
     boxes = np.tile(

@@ -1,0 +1,208 @@
+"""Fused SAME-padded max-pool backward as a Pallas TPU kernel.
+
+Status: OPT-IN (CAP2DET_POOL_GRAD=fused), not the default. Isolated,
+the kernel beats the slice-formulation VJP (1.7 vs 3.1 ms at the
+Mixed_5c pool, bench shapes) — but at the second_stage fwd+bwd level the
+slice VJP wins (11.6 vs 14.7 ms): a Pallas custom call is a fusion
+barrier, while the slice chain's shifted ops fuse into the neighboring
+conv backwards. Recorded in BENCH_NOTES.md round 4 as the fourth
+isolated-vs-composite reversal in this repo.
+
+What the kernel does: one program loads a [GN, H, W, CB] activation
+block (the second-stage pools' spatial extent is tiny, 7x7/4x4),
+recomputes the pooled maxima with static shifted slices, routes the
+upstream gradient through a first-tie max mask, and accumulates dx
+entirely in VMEM.
+
+Tie routing follows TF MaxPoolGrad (reference models/utils.py:165-177
+trains under it): the FULL gradient goes to the first maximal element in
+row-major window order — pinned against tf.nn.max_pool2d gradients in
+tests/test_pool_grad_kernel.py. The default slice VJP splits ties via
+the chained-maximum subgradient instead; both are valid subgradients,
+and CAP2DET_POOL_GRAD=fused|ref buys exact TF routing at ~3 ms/step.
+
+The plain-XLA `maxpool_grad_reference` implements the identical routing
+for CPU execution and as the kernel's test oracle, so gradient semantics
+do not depend on the platform when the TF forms are selected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _same_pads(size, kernel, stride):
+    out = -(-size // stride)
+    pad_total = max((out - 1) * stride + kernel - size, 0)
+    return out, pad_total // 2, pad_total - pad_total // 2
+
+
+def _upsample(v, stride, axis):
+    """Interleaves stride-1 zeros after each element along `axis` and
+    trims to the transposed-strided-slice length (n-1)*stride + 1."""
+    if stride == 1:
+        return v
+    n = v.shape[axis]
+    vz = jnp.expand_dims(v, axis + 1)
+    zeros = jnp.zeros(
+        vz.shape[:axis + 1] + (stride - 1,) + vz.shape[axis + 2:], v.dtype
+    )
+    u = jnp.concatenate([vz, zeros], axis=axis + 1)
+    u = u.reshape(v.shape[:axis] + (n * stride,) + v.shape[axis + 1:])
+    return jax.lax.slice_in_dim(u, 0, (n - 1) * stride + 1, axis=axis)
+
+
+def _sslice(v, axis, start, length, stride):
+    """Strided slice along one axis via reshape-deinterleave: Mosaic's
+    vector.extract_strided_slice only allows stride 1, so split the axis
+    into (n/stride, stride), pick the phase with a unit slice, and take
+    the row range."""
+    if stride == 1:
+        return jax.lax.slice_in_dim(v, start, start + length, axis=axis)
+    n = v.shape[axis]
+    phase, base = start % stride, start // stride
+    pad = (-n) % stride
+    if pad:
+        widths = [(0, 0)] * v.ndim
+        widths[axis] = (0, pad)
+        v = jnp.pad(v, widths)
+    m = v.shape[axis] // stride
+    v = v.reshape(v.shape[:axis] + (m, stride) + v.shape[axis + 1:])
+    v = jax.lax.slice_in_dim(v, phase, phase + 1, axis=axis + 1)
+    v = v.reshape(v.shape[:axis] + (m,) + v.shape[axis + 2:])
+    return jax.lax.slice_in_dim(v, base, base + length, axis=axis)
+
+
+def _routed_taps(xf, gf, kernel, stride, h, w):
+    """Shared routing math (vector ops only — used inside the Pallas
+    kernel AND by the XLA reference): returns the accumulated padded
+    gradient [N, Hp, Wp, C] to be cropped by (pad_t, pad_l)."""
+    oh, pad_t, pad_b = _same_pads(h, kernel, stride)
+    ow, pad_l, pad_r = _same_pads(w, kernel, stride)
+    hp, wp = h + pad_t + pad_b, w + pad_l + pad_r
+    n, cb = xf.shape[0], xf.shape[3]
+    xp = jnp.pad(
+        xf,
+        ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+        constant_values=-jnp.inf,
+    )
+    views = []
+    for ky in range(kernel):
+        for kx in range(kernel):
+            views.append(
+                _sslice(
+                    _sslice(xp, 1, ky, oh, stride), 2, kx, ow, stride
+                )
+            )
+    out = functools.reduce(jnp.maximum, views)
+
+    taken = jnp.zeros_like(out)
+    acc = jnp.zeros((n, hp, wp, cb), jnp.float32)
+    t = 0
+    for ky in range(kernel):
+        for kx in range(kernel):
+            hit = (views[t] >= out).astype(jnp.float32) * (1.0 - taken)
+            taken = jnp.maximum(taken, hit)
+            contrib = _upsample(
+                _upsample(gf * hit, stride, 1), stride, 2
+            )  # [N, (OH-1)*s+1, (OW-1)*s+1, CB]
+            acc = acc + jnp.pad(
+                contrib,
+                ((0, 0),
+                 (ky, hp - ky - contrib.shape[1]),
+                 (kx, wp - kx - contrib.shape[2]),
+                 (0, 0)),
+            )
+            t += 1
+    return acc, pad_t, pad_l
+
+
+def _grad_kernel(x_ref, g_ref, dx_ref, *, kernel, stride):
+    h, w = x_ref.shape[1:3]
+    acc, pad_t, pad_l = _routed_taps(
+        x_ref[...].astype(jnp.float32),
+        g_ref[...].astype(jnp.float32),
+        kernel, stride, h, w,
+    )
+    dx_ref[...] = acc[:, pad_t:pad_t + h, pad_l:pad_l + w, :].astype(
+        dx_ref.dtype
+    )
+
+
+def maxpool_grad_reference(x, g, kernel, stride):
+    """First-tie (TF MaxPoolGrad) SAME max-pool backward in plain XLA."""
+    h, w = x.shape[1:3]
+    acc, pad_t, pad_l = _routed_taps(
+        x.astype(jnp.float32), g.astype(jnp.float32), kernel, stride, h, w
+    )
+    return acc[:, pad_t:pad_t + h, pad_l:pad_l + w, :].astype(x.dtype)
+
+
+# Sized so the ~10 live [GN, Hp, Wp, CB] f32 intermediates (9 tap views
+# + accumulator + masks) stay well inside the raised scoped-vmem limit.
+_VMEM_BLOCK_BUDGET = 2 * 1024 * 1024  # bytes for the f32 padded x block
+
+
+def _block_rows(h, w, kernel, stride, cb):
+    _, pad_t, pad_b = _same_pads(h, kernel, stride)
+    _, pad_l, pad_r = _same_pads(w, kernel, stride)
+    per_row = (h + pad_t + pad_b) * (w + pad_l + pad_r) * cb * 4
+    gn = _VMEM_BLOCK_BUDGET // max(per_row, 1)
+    return int(max(0, min(gn - gn % 8, 512)))
+
+
+def supported(shape, kernel, stride, channel_block=128):
+    """Whether the Pallas path applies: spatial extent small enough that
+    a >=8-row block fits the VMEM budget (the second-stage case). Large
+    feature maps (stem pools) take the XLA fallback."""
+    _, h, w, _ = shape
+    return _block_rows(h, w, kernel, stride, channel_block) >= 8
+
+
+def maxpool_grad(x, g, kernel, stride, channel_block=128, interpret=False):
+    """dx of y = SAME max-pool(x) given upstream g, first-tie routing.
+
+    x: [N, H, W, C]; g: [N, OH, OW, C] with OH/OW = ceil(H/stride) etc.
+    """
+    n, h, w, c = x.shape
+    cb = channel_block
+    gn = _block_rows(h, w, kernel, stride, cb)
+    if gn < 8:
+        raise ValueError(
+            "maxpool_grad: %s too large for the VMEM block budget; use "
+            "maxpool_grad_reference" % (x.shape,)
+        )
+    gn = min(gn, max(8, -(-n // 8) * 8))
+
+    pad_c = (-c) % cb
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    pad_n = (-n) % gn
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    np_, _, _, cp = x.shape
+    oh, ow = g.shape[1:3]
+
+    grid = (np_ // gn, cp // cb)
+    out = pl.pallas_call(
+        functools.partial(_grad_kernel, kernel=kernel, stride=stride),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gn, h, w, cb), lambda i, j: (i, 0, 0, j)),
+            pl.BlockSpec((gn, oh, ow, cb), lambda i, j: (i, 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((gn, h, w, cb), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((np_, h, w, cp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, g)
+    return out[:n, :, :, :c]

@@ -20,6 +20,8 @@ Compute defaults to bfloat16 on the MXU with float32 accumulation.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -548,6 +550,24 @@ def _pool_p_fwd(x, kind, kernel, stride):
 
 
 def _pool_p_bwd(kind, kernel, stride, x, g):
+    # Default "slices": VJP of the shifted-slice chain. Measured FASTEST
+    # in composite (second_stage fwd+bwd 11.6 ms vs 14.7 for the fused
+    # Pallas kernel, 24.2 for the XLA first-tie form — BENCH_NOTES.md r4):
+    # the slice ops fuse into the neighboring conv backwards, while a
+    # custom call is a fusion barrier (isolated, the kernel wins 1.7 vs
+    # 3.1 ms — the recurring isolated-vs-composite trap). Tie routing
+    # therefore follows the chained-maximum subgradient, not TF's
+    # first-tie; CAP2DET_POOL_GRAD=fused|ref selects the TF-semantics
+    # forms (kernels/pool_grad.py) when that parity matters more than
+    # the ~3 ms step cost.
+    variant = os.environ.get("CAP2DET_POOL_GRAD", "slices")
+    if kind == "pool_max" and variant != "slices":
+        from cap2det_tpu.kernels import pool_grad
+
+        if (variant == "fused" and jax.default_backend() == "tpu"
+                and pool_grad.supported(x.shape, kernel, stride)):
+            return (pool_grad.maxpool_grad(x, g, kernel, stride),)
+        return (pool_grad.maxpool_grad_reference(x, g, kernel, stride),)
     _, vjp = jax.vjp(lambda x: _pool_slices(x, kind, kernel, stride), x)
     return (vjp(g)[0],)
 

@@ -402,6 +402,100 @@ def _bwd_kernel_cat(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref,
     )  # [H, W, CB]
 
 
+def _bwd_kernel_catv(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_cat_ref,
+                     tmp_ref, dtmp_ref, *, crop_size, pool_kernel,
+                     pool_stride, group, window):
+    """Cat backward with GROUP-VECTORIZED max routing.
+
+    `_bwd_kernel_cat` runs the first-tie routing per proposal — ~25
+    vector ops on [7, 2, 7, 2, CB] tiles whose 7-row occupancy wastes
+    most of each VPU op, repeated group times per program. Here the
+    crop recompute stages every proposal's crop into one [G*S, S, CB]
+    scratch (sub-ref views), the pooled-max routing runs ONCE on
+    [G, ps, k, ps, k, CB] tensors (G*ps = 56 sublanes per op), and the
+    x-dots + concatenated dF matmul proceed as in the cat variant.
+    """
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    pooled_size = (s - pool_kernel) // pool_stride + 1
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    wy_rows = []
+    wxs = []
+    for gi in range(group):
+        p = p_base + gi
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+        ys = _sample_coords(y1, y2, s, height)
+        xs = _sample_coords(x1, x2, s, width)
+        x_idx = xs[0]
+        crop_view = crop_cat_ref.at[pl.ds(gi * s, s)]
+
+        if window is None:
+            _crop_pass(feat_ref, tmp_ref, crop_view, ys, xs, None, width,
+                       width, s)
+        else:
+            x0, narrow = _narrow_window(x_idx, s, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_view, ys, xs, x0, window,
+                           width, s)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _crop_pass(feat_ref, tmp_ref, crop_view, ys, xs, None, width,
+                           width, s)
+
+        wy_rows.append(_interp_matrix(y1, y2, s, height))
+        wxs.append(_interp_matrix(x1, x2, s, width))
+
+    # One first-tie routing pass over the whole group (TF MaxPoolGrad
+    # semantics; see _bwd_kernel).
+    crop_all = crop_cat_ref[...].reshape(
+        group, pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+    )
+    maxima = jnp.max(crop_all, axis=(2, 4))  # [G, ps, ps, cb]
+    g_all = grad_ref[0].astype(jnp.float32)  # [G, ps, ps, cb]
+    taken = jnp.zeros_like(maxima, dtype=jnp.float32)
+    pieces = {}
+    for ky in range(pool_kernel):
+        for kx in range(pool_kernel):
+            hit = (
+                (crop_all[:, :, ky, :, kx, :] >= maxima).astype(jnp.float32)
+                * (1.0 - taken)
+            )
+            pieces[(ky, kx)] = g_all * hit
+            taken = jnp.maximum(taken, hit)
+    dwindows = jnp.stack(
+        [
+            jnp.stack(
+                [pieces[(ky, kx)] for kx in range(pool_kernel)], axis=3
+            )
+            for ky in range(pool_kernel)
+        ],
+        axis=2,
+    )  # [G, ps, k, ps, k, cb]
+    dcrop_all = dwindows.reshape(group * s, s, cb)
+
+    for gi in range(group):
+        dtmp_ref[:, gi * s:(gi + 1) * s, :] = jax.lax.dot_general(
+            wxs[gi], dcrop_all[gi * s:(gi + 1) * s],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtmp_ref.dtype)  # [W, S, CB]
+
+    wy_cat = jnp.concatenate(wy_rows, axis=0)  # [G*S, H]
+    dfeat_ref[0] += jax.lax.dot_general(
+        wy_cat, dtmp_ref[...],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, W, CB]
+
+
 def _fwd_kernel_ymm(boxes_ref, feat_ref, out_ref, tmp_cat_ref, tmp_ref, *,
                     crop_size, pool_kernel, pool_stride, group):
     """Hybrid forward: concatenated y-interp MXU matmul + slice x-pass.
@@ -882,7 +976,26 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     # sparse 2-row RMW form, kept selectable for A/B. Read at trace time.
     variant = os.environ.get("CAP2DET_ROI_BWD", "cat")
     grid = (batch, channels // cb, num_p // group)
-    if variant == "cat":
+    if variant == "catv":
+        kernel = functools.partial(
+            _bwd_kernel_catv,
+            crop_size=crop_size,
+            pool_kernel=pool_kernel,
+            pool_stride=pool_stride,
+            group=group,
+            window=_window_tier(width),
+        )
+        scratch = [
+            pltpu.VMEM((group * crop_size, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, group * crop_size, cb), jnp.float32),
+        ]
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )
+    elif variant == "cat":
         kernel = functools.partial(
             _bwd_kernel_cat,
             crop_size=crop_size,

@@ -568,6 +568,26 @@ def _pool_p_bwd(kind, kernel, stride, x, g):
                 and pool_grad.supported(x.shape, kernel, stride)):
             return (pool_grad.maxpool_grad(x, g, kernel, stride),)
         return (pool_grad.maxpool_grad_reference(x, g, kernel, stride),)
+    if (kind == "pool_avg" and stride == 1 and kernel % 2 == 1
+            and os.environ.get("CAP2DET_AVG_BWD", "rw") == "rw"):
+        # Exact transpose of the stride-1 SAME avg pool as ONE fused op:
+        # dx[i] = sum_{windows o containing i} g[o] / count[o], and for
+        # stride 1 with symmetric (odd-kernel) padding the containing
+        # windows are themselves a SAME reduce-window around i. The
+        # slice-VJP form this replaces lowered to k^2 pad+add+divide
+        # fusions (~3 ms/step profiled at bench shapes, BENCH_NOTES r4).
+        h, w = x.shape[1:3]
+        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        counts = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, 1, 1, 1),
+            "SAME",
+        )
+        gt = g.astype(jnp.float32) / counts
+        dx = jax.lax.reduce_window(
+            gt, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, 1, 1, 1),
+            "SAME",
+        )
+        return (dx.astype(x.dtype),)
     _, vjp = jax.vjp(lambda x: _pool_slices(x, kind, kernel, stride), x)
     return (vjp(g)[0],)
 

@@ -202,10 +202,13 @@ def test_estimate_flops_scales():
     assert abs(b["bwd"] / a["bwd"] - 2.0) < 0.02
 
 
-def test_cat_backward_matches_scatter(monkeypatch):
-    """The round-4 concatenated-matmul dF accumulation (default) must be
-    numerically equivalent to the sparse 2-row scatter form it replaced
-    (CAP2DET_ROI_BWD=scatter) — same routing, different summation order."""
+@pytest.mark.parametrize("variant", ["cat", "catv"])
+def test_cat_backward_matches_scatter(monkeypatch, variant):
+    """The round-4 concatenated-matmul dF accumulations (cat = default,
+    catv = group-vectorized routing, a recorded same-speed variant) must
+    be numerically equivalent to the sparse 2-row scatter form they
+    replaced (CAP2DET_ROI_BWD=scatter) — same routing, different
+    summation order."""
     features, boxes = _random_case(7, num_p=11, h=20, w=24, c=16)
     g_target = np.random.RandomState(8).randn(2, 11, 3, 3, 16).astype(
         np.float32
@@ -215,7 +218,7 @@ def test_cat_backward_matches_scatter(monkeypatch):
         out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
         return jnp.sum(out * g_target)
 
-    monkeypatch.setenv("CAP2DET_ROI_BWD", "cat")
+    monkeypatch.setenv("CAP2DET_ROI_BWD", variant)
     g_cat = np.asarray(jax.grad(loss)(jnp.asarray(features)))
     monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
     g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))

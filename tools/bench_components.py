@@ -228,11 +228,18 @@ def main():
         record("roi_pallas_fwd",
                _slope_time(f, (feat, boxes), n2, sync_scalarize))
 
+        # The loss must be NONLINEAR in the kernel output: with a linear
+        # loss the cotangent is constant and XLA dead-code-eliminates the
+        # forward custom call entirely (the custom-vjp residuals are
+        # (features, boxes), not the output), so grad-of-sum silently
+        # measures the BACKWARD ALONE — discovered via the r4 device
+        # profile (BENCH_NOTES.md r4: in-situ fwd 4.5 + bwd 14.5 ms while
+        # this bench reported "fwd+bwd 14.5").
         g = jax.jit(
             jax.grad(
                 lambda ft, bx: jnp.sum(
                     roi_pool.roi_crop_maxpool(ft, bx, CROP, 2, 2)
-                    .astype(jnp.float32)
+                    .astype(jnp.float32) ** 2
                 )
             )
         )
@@ -251,7 +258,7 @@ def main():
             jax.grad(
                 lambda ft, bx: jnp.sum(
                     roi_ops.crop_resize_maxpool(ft, bx, CROP, 2, 2)
-                    .astype(jnp.float32)
+                    .astype(jnp.float32) ** 2
                 )
             )
         )

@@ -1,0 +1,166 @@
+"""Per-fusion device-time attribution of the train step via jax.profiler.
+
+Builds the SAME jitted train step as bench.py (same pbtxt, shapes, feed
+path), traces N executions, aggregates device-side trace events by op
+name, and maps the hottest fusions back to HLO metadata (op_name /
+source line) from the compiled module. This replaces component-level
+guessing: isolated sub-jits have repeatedly disagreed with in-situ cost
+(BENCH_NOTES.md r4 items 9/10/15).
+
+Usage: python tools/profile_step.py [--steps 8] [--shape bench] [--top 40]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(shape_name):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from cap2det_tpu.config import pbtxt, schema
+    from cap2det_tpu.data import synthetic
+    from cap2det_tpu.fields import InputFields
+    from cap2det_tpu.models import registry
+    from cap2det_tpu.train import trainer as trainer_lib
+    import cap2det_tpu.models  # noqa: F401
+    import __graft_entry__ as graft
+
+    shape = bench.SHAPES[shape_name]
+    batch_size, (h, w) = shape["batch"], shape["canvas_hw"]
+    num_proposals, num_classes = shape["num_proposals"], shape["num_classes"]
+
+    classes = ["class_%02d" % i for i in range(num_classes)]
+    label_file = synthetic.write_label_file(
+        os.path.join(tempfile.mkdtemp(prefix="prof_"), "labels.txt"), classes
+    )
+    model_cfg = schema.Model.from_dict(
+        pbtxt.parse(graft._MODEL_PBTXT % label_file)["model"]
+    )
+    m = model_cfg.cap2det_model
+    object.__setattr__(m, "oicr_iterations", bench.OICR_ITERATIONS)
+    object.__setattr__(m.frcnn_options, "initial_crop_size", 14)
+    train_pbtxt = (
+        bench._FULL_FREEZE_TRAIN_PBTXT if shape["full_freeze"]
+        else graft._TRAIN_PBTXT
+    )
+    train_config = schema.Pipeline.from_dict(
+        pbtxt.parse(train_pbtxt)
+    ).train_config
+    model = registry.build(model_cfg, is_training=True,
+                           compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    state, tx, _, mask = trainer_lib.TrainState.create(model, train_config,
+                                                       rng)
+    train_step = jax.jit(
+        trainer_lib.make_train_step(model, tx, train_config, mask),
+        donate_argnums=0,
+    )
+
+    rs = np.random.RandomState(0)
+    y0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
+    x0 = rs.uniform(0, 0.5, (batch_size, num_proposals))
+    host_batch = {
+        InputFields.image: rs.uniform(
+            0, 255, (batch_size, h, w, 3)
+        ).astype(np.float32),
+        InputFields.proposals: np.stack(
+            [y0, x0, y0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals)),
+             x0 + rs.uniform(0.1, 0.5, (batch_size, num_proposals))], -1
+        ).astype(np.float32),
+        InputFields.num_proposals: np.full((batch_size,), num_proposals,
+                                           np.int32),
+        InputFields.pseudo_labels: (
+            rs.rand(batch_size, num_classes) < 0.05
+        ).astype(np.float32),
+    }
+    batch = jax.device_put(model.device_batch(host_batch))
+    step_rng = jax.random.PRNGKey(1)
+    return train_step, state, batch, step_rng
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--shape", default="bench")
+    parser.add_argument("--top", type=int, default=40)
+    parser.add_argument("--trace_dir", default="/tmp/step_trace")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    train_step, state, batch, step_rng = build_step(args.shape)
+
+    # HLO text for fusion -> source mapping (compile before tracing).
+    compiled = train_step.lower(state, batch, step_rng).compile()
+    hlo = compiled.as_text()
+    # fusion name -> first metadata op_name/source seen in its body.
+    meta_of = {}
+    cur = None
+    for line in hlo.splitlines():
+        mdef = re.search(r"%?([\w.\-]+)\s*=\s*\S+ fusion\(", line)
+        if mdef:
+            cur = mdef.group(1)
+        mcall = re.search(r'calls=%?([\w.\-]+)', line)
+        if mdef and mcall:
+            meta_of.setdefault(mdef.group(1), "")
+        mm = re.search(r'metadata=\{op_name="([^"]+)"'
+                       r'(?:.*?source_file="([^"]+)".*?source_line=(\d+))?',
+                       line)
+        if mm and cur and not meta_of.get(cur):
+            src = ""
+            if mm.group(2):
+                src = " %s:%s" % (os.path.basename(mm.group(2)), mm.group(3))
+            meta_of[cur] = mm.group(1)[:110] + src
+
+    state, logs = train_step(state, batch, step_rng)  # warm (already compiled)
+    float(logs["loss/total_loss"].astype(jnp.float32))
+
+    jax.profiler.start_trace(args.trace_dir)
+    for _ in range(args.steps):
+        state, logs = train_step(state, batch, step_rng)
+        float(logs["loss/total_loss"].astype(jnp.float32))
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(
+        os.path.join(args.trace_dir, "plugins/profile/*/*.trace.json.gz")
+    ))
+    with gzip.open(traces[-1]) as f:
+        d = json.load(f)
+    ev = d.get("traceEvents", [])
+    # Device lanes: skip python host frames ($file.py) and runtime noise.
+    skip = re.compile(r"^\$|^np\.|PjitFunction|ParseArguments|Transfer|"
+                      r"check_scalar|_ensure|wrapper|stop_trace|start_trace")
+    agg = {}
+    for e in ev:
+        if e.get("ph") != "X" or skip.search(e.get("name", "")):
+            continue
+        agg.setdefault(e["name"], [0.0, 0])
+        agg[e["name"]][0] += e.get("dur", 0)
+        agg[e["name"]][1] += 1
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    total = sum(v[0] for _, v in rows)
+    print(json.dumps({"total_device_ms_per_step":
+                      round(total / 1e3 / args.steps, 3)}))
+    for name, (dur, cnt) in rows[:args.top]:
+        print(json.dumps({
+            "ms_per_step": round(dur / 1e3 / args.steps, 3),
+            "count": cnt,
+            "name": name[:60],
+            "src": meta_of.get(name, meta_of.get(name.split(".")[0], ""))[:130],
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,77 @@ def _routed_taps(xf, gf, kernel, stride, h, w):
     return acc, pad_t, pad_l
 
 
+def _avg_grad_kernel(g_ref, dx_ref, *, kernel, stride):
+    """SAME avg-pool backward of one block, entirely in VMEM: spread
+    g/counts back over each tap (a linear op — no activation input)."""
+    h, w = dx_ref.shape[1:3]
+    oh, pad_t, pad_b = _same_pads(h, kernel, stride)
+    ow, pad_l, pad_r = _same_pads(w, kernel, stride)
+    hp, wp = h + pad_t + pad_b, w + pad_l + pad_r
+    ones = jnp.pad(
+        jnp.ones((1, h, w, 1), jnp.float32),
+        ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+    )
+    counts = None
+    for ky in range(kernel):
+        for kx in range(kernel):
+            v = _sslice(_sslice(ones, 1, ky, oh, stride), 2, kx, ow, stride)
+            counts = v if counts is None else counts + v
+    gt = g_ref[...].astype(jnp.float32) / counts
+    n, cb = gt.shape[0], gt.shape[3]
+    acc = jnp.zeros((n, hp, wp, cb), jnp.float32)
+    for ky in range(kernel):
+        for kx in range(kernel):
+            contrib = _upsample(_upsample(gt, stride, 1), stride, 2)
+            acc = acc + jnp.pad(
+                contrib,
+                ((0, 0),
+                 (ky, hp - ky - contrib.shape[1]),
+                 (kx, wp - kx - contrib.shape[2]),
+                 (0, 0)),
+            )
+    dx_ref[...] = acc[:, pad_t:pad_t + h, pad_l:pad_l + w, :].astype(
+        dx_ref.dtype
+    )
+
+
+def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=128,
+                 interpret=False):
+    """dx of y = SAME avg-pool given upstream g. Linear — only shapes of
+    x are needed. [N, H, W, C]."""
+    n, h, w, c = x_shape
+    cb = channel_block
+    gn = _block_rows(h, w, kernel, stride, cb)
+    if gn < 8:
+        raise ValueError(
+            "avgpool_grad: %s too large for the VMEM block budget" %
+            (x_shape,)
+        )
+    gn = min(gn, max(8, -(-n // 8) * 8))
+    pad_c = (-c) % cb
+    if pad_c:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    pad_n = (-n) % gn
+    if pad_n:
+        g = jnp.pad(g, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    np_, cp = n + pad_n, c + pad_c
+    oh, ow = g.shape[1:3]
+
+    grid = (np_ // gn, cp // cb)
+    out = pl.pallas_call(
+        functools.partial(_avg_grad_kernel, kernel=kernel, stride=stride),
+        grid=grid,
+        in_specs=[pl.BlockSpec((gn, oh, ow, cb), lambda i, j: (i, 0, 0, j))],
+        out_specs=pl.BlockSpec((gn, h, w, cb), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((np_, h, w, cp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g)
+    return out[:n, :, :, :c]
+
+
 def _grad_kernel(x_ref, g_ref, dx_ref, *, kernel, stride):
     h, w = x_ref.shape[1:3]
     acc, pad_t, pad_l = _routed_taps(
@@ -145,6 +216,93 @@ def maxpool_grad_reference(x, g, kernel, stride):
 
 # Sized so the ~10 live [GN, Hp, Wp, CB] f32 intermediates (9 tap views
 # + accumulator + masks) stay well inside the raised scoped-vmem limit.
+def _fwd_pool_kernel(x_ref, out_ref, *, kind, kernel, stride):
+    """SAME pooled forward of one [GN, H, W, CB] block, entirely in VMEM.
+
+    Built for the second-stage shapes where lax.reduce_window runs
+    10-30x off the traffic floor (5.2 ms in-situ for [2000,7,7,576] max
+    s2 at inc2 — BENCH_NOTES.md r4): tiny tiled spatial dims turn its
+    windowed walk into pure relayout, and the shifted-slice XLA form
+    materializes every tap in HBM in-situ. Here the taps are VMEM values;
+    the avg divisor plane is rebuilt in-kernel from a broadcast ones
+    (Pallas rejects captured data constants) — an [OH, OW]-sized cost."""
+    h, w = x_ref.shape[1:3]
+    if kind == "pool_max":
+        xf = x_ref[...]
+        fill = -jnp.inf
+    else:
+        xf = x_ref[...].astype(jnp.float32)
+        fill = 0.0
+    oh, pad_t, pad_b = _same_pads(h, kernel, stride)
+    ow, pad_l, pad_r = _same_pads(w, kernel, stride)
+    xp = jnp.pad(
+        xf, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+        constant_values=fill,
+    )
+    acc = None
+    for ky in range(kernel):
+        for kx in range(kernel):
+            v = _sslice(_sslice(xp, 1, ky, oh, stride), 2, kx, ow, stride)
+            if acc is None:
+                acc = v
+            elif kind == "pool_max":
+                acc = jnp.maximum(acc, v)
+            else:
+                acc = acc + v
+    if kind != "pool_max":
+        ones = jnp.pad(
+            jnp.ones((1, h, w, 1), jnp.float32),
+            ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+        )
+        counts = None
+        for ky in range(kernel):
+            for kx in range(kernel):
+                v = _sslice(
+                    _sslice(ones, 1, ky, oh, stride), 2, kx, ow, stride
+                )
+                counts = v if counts is None else counts + v
+        acc = acc / counts
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def pool_fwd(x, kind, kernel, stride, channel_block=128, interpret=False):
+    """Fused SAME pool forward for small-spatial inputs. [N,H,W,C]."""
+    n, h, w, c = x.shape
+    cb = channel_block
+    gn = _block_rows(h, w, kernel, stride, cb)
+    if gn < 8:
+        raise ValueError(
+            "pool_fwd: %s too large for the VMEM block budget; use "
+            "reduce_window" % (x.shape,)
+        )
+    gn = min(gn, max(8, -(-n // 8) * 8))
+
+    pad_c = (-c) % cb
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    pad_n = (-n) % gn
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    np_, _, _, cp = x.shape
+    oh, _, _ = _same_pads(h, kernel, stride)
+    ow, _, _ = _same_pads(w, kernel, stride)
+
+    grid = (np_ // gn, cp // cb)
+    out = pl.pallas_call(
+        functools.partial(_fwd_pool_kernel, kind=kind, kernel=kernel,
+                          stride=stride),
+        grid=grid,
+        in_specs=[pl.BlockSpec((gn, h, w, cb), lambda i, j: (i, 0, 0, j))],
+        out_specs=pl.BlockSpec((gn, oh, ow, cb), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((np_, oh, ow, cp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    return out[:n, :, :, :c]
+
+
 _VMEM_BLOCK_BUDGET = 2 * 1024 * 1024  # bytes for the f32 padded x block
 
 

@@ -519,8 +519,29 @@ def _pool_slices(x, kind, kernel, stride):
     return acc / counts
 
 
+# Below this spatial extent (h*w) the avg-pool BACKWARD keeps the slice
+# VJP (see _pool_p_bwd). The forward stays reduce_window at EVERY shape:
+# isolated probes showed slices 3-15x faster at [2000, 7x7/4x4, C]
+# second-stage shapes, but in-situ the step REGRESSED 42->51 ms — XLA
+# materializes each of the 9 shifted strided slices as its own copy
+# inside the big program (the same reversal as the shifted-conv negative,
+# r4 item 4), while the isolated jit had fused them. BENCH_NOTES.md r4.
+_SMALL_SPATIAL = 256
+
+
 def _pool_fast(x, kind, kernel, stride):
-    """SAME-padded pooling via lax.reduce_window (fast TPU forward)."""
+    """SAME-padded pooling via lax.reduce_window (fast TPU forward).
+
+    At many-ROI small-spatial shapes (see _fused_pool_default) the
+    Pallas VMEM pool kernel (kernels/pool_grad.pool_fwd) is the default
+    instead; CAP2DET_POOL_FWD=fused|rw forces a form."""
+    v = os.environ.get("CAP2DET_POOL_FWD")
+    use_fused = (v == "fused") if v else _fused_pool_default(x.shape)
+    if use_fused and jax.default_backend() == "tpu":
+        from cap2det_tpu.kernels import pool_grad
+
+        if pool_grad.supported(x.shape, kernel, stride):
+            return pool_grad.pool_fwd(x, kind, kernel, stride)
     dims = (1, kernel, kernel, 1)
     strides = (1, stride, stride, 1)
     if kind == "pool_max":
@@ -534,7 +555,9 @@ def _pool_fast(x, kind, kernel, stride):
         jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None],
         0.0, jax.lax.add, dims, strides, "SAME",
     )
-    return sums / counts
+    # Multiply by the (constant-folded) reciprocal: VPU division is a
+    # multi-pass op and the count plane is a compile-time constant.
+    return sums * (1.0 / counts)
 
 
 from functools import partial as _partial
@@ -549,26 +572,52 @@ def _pool_p_fwd(x, kind, kernel, stride):
     return _pool_p(x, kind, kernel, stride), x
 
 
-def _pool_p_bwd(kind, kernel, stride, x, g):
-    # Default "slices": VJP of the shifted-slice chain. Measured FASTEST
-    # in composite (second_stage fwd+bwd 11.6 ms vs 14.7 for the fused
-    # Pallas kernel, 24.2 for the XLA first-tie form — BENCH_NOTES.md r4):
-    # the slice ops fuse into the neighboring conv backwards, while a
-    # custom call is a fusion barrier (isolated, the kernel wins 1.7 vs
-    # 3.1 ms — the recurring isolated-vs-composite trap). Tie routing
-    # therefore follows the chained-maximum subgradient, not TF's
-    # first-tie; CAP2DET_POOL_GRAD=fused|ref selects the TF-semantics
-    # forms (kernels/pool_grad.py) when that parity matters more than
-    # the ~3 ms step cost.
-    variant = os.environ.get("CAP2DET_POOL_GRAD", "slices")
-    if kind == "pool_max" and variant != "slices":
-        from cap2det_tpu.kernels import pool_grad
+def _fused_pool_default(shape):
+    """Shape heuristic for routing pools through the Pallas VMEM kernels
+    (kernels/pool_grad.py) instead of XLA forms: ONLY at many-ROI
+    small-spatial shapes. Measured step-level A/B (BENCH_NOTES.md r4):
+    at voc07_inc2 shapes ([2000, 7x7/4x4, C]) fused fwd+bwd pools take
+    the step 40.0 -> 34.4 ms, while at bench shapes ([1000, ...]) the
+    same routing REGRESSES 39.7 -> 41.5 (and fused-fwd-alone to 58:
+    the pool custom call un-fuses the slice-VJP's forward replay). The
+    XLA lowering lottery flips between N=1000 and N=2000; both sides
+    are pinned by measurement, overridable via CAP2DET_POOL_FWD /
+    CAP2DET_POOL_GRAD."""
+    n, h, w = shape[0], shape[1], shape[2]
+    return h * w <= _SMALL_SPATIAL and n >= _FUSED_POOL_MIN_ROWS
 
+
+_FUSED_POOL_MIN_ROWS = 1536
+
+
+def _pool_p_bwd(kind, kernel, stride, x, g):
+    # Default at bench-like shapes: "slices", the VJP of the shifted-
+    # slice chain — fastest in composite (second_stage fwd+bwd 11.6 ms
+    # vs 14.7 fused, 24.2 XLA-first-tie: the slice ops fuse into the
+    # neighboring conv backwards while a custom call is a fusion
+    # barrier). At many-ROI shapes (_fused_pool_default) the fused
+    # first-tie kernel wins at the STEP level instead (inc2 40.0 ->
+    # 34.4 ms with fused fwd+bwd) and is the default there; it also
+    # carries TF MaxPoolGrad tie semantics (first maximal element takes
+    # the whole gradient; the slice chain splits ties unevenly).
+    # CAP2DET_POOL_GRAD=slices|fused|ref forces a form.
+    from cap2det_tpu.kernels import pool_grad
+
+    variant = os.environ.get("CAP2DET_POOL_GRAD")
+    if variant is None:
+        variant = "fused" if _fused_pool_default(x.shape) else "slices"
+    if kind == "pool_max" and variant != "slices":
         if (variant == "fused" and jax.default_backend() == "tpu"
                 and pool_grad.supported(x.shape, kernel, stride)):
             return (pool_grad.maxpool_grad(x, g, kernel, stride),)
         return (pool_grad.maxpool_grad_reference(x, g, kernel, stride),)
+    if (kind == "pool_avg" and variant == "fused"
+            and jax.default_backend() == "tpu"
+            and pool_grad.supported(x.shape, kernel, stride)):
+        return (pool_grad.avgpool_grad(x.shape, x.dtype, g, kernel,
+                                       stride),)
     if (kind == "pool_avg" and stride == 1 and kernel % 2 == 1
+            and x.shape[1] * x.shape[2] > _SMALL_SPATIAL
             and os.environ.get("CAP2DET_AVG_BWD", "rw") == "rw"):
         # Exact transpose of the stride-1 SAME avg pool as ONE fused op:
         # dx[i] = sum_{windows o containing i} g[o] / count[o], and for
@@ -576,6 +625,10 @@ def _pool_p_bwd(kind, kernel, stride, x, g):
         # windows are themselves a SAME reduce-window around i. The
         # slice-VJP form this replaces lowered to k^2 pad+add+divide
         # fusions (~3 ms/step profiled at bench shapes, BENCH_NOTES r4).
+        # Shape-gated like the forward: at second-stage spatial extents
+        # reduce_window itself is the pathology (its 2.7 ms at inc2
+        # outweighed the fused-chain saving — r4 item 18/20), so small
+        # shapes take the slice VJP below.
         h, w = x.shape[1:3]
         ones = jnp.ones((1, h, w, 1), jnp.float32)
         counts = jax.lax.reduce_window(

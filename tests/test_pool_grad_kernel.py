@@ -95,3 +95,54 @@ def test_supported_gate():
     assert pool_grad.supported((1000, 7, 7, 576), 3, 1)
     assert pool_grad.supported((1000, 4, 4, 1024), 3, 1)
     assert not pool_grad.supported((2, 512, 768, 128), 3, 2)
+
+
+@pytest.mark.parametrize("kind", ["pool_max", "pool_avg"])
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("shape", [(13, 7, 7, 24), (5, 4, 4, 8),
+                                   (3, 5, 9, 16)])
+def test_pool_fwd_kernel_matches_slices(kind, stride, shape):
+    """The Pallas forward pool (default at many-ROI shapes, where
+    reduce_window ran 10-30x off the traffic floor) vs the shifted-slice
+    reference."""
+    from cap2det_tpu.models import inception_v2 as iv2
+
+    x = np.random.RandomState(11).randn(*shape).astype(np.float32)
+    got = np.asarray(
+        pool_grad.pool_fwd(jnp.asarray(x), kind, 3, stride, interpret=True)
+    )
+    want = np.asarray(iv2._pool_slices(jnp.asarray(x), kind, 3, stride))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_avgpool_grad_kernel_matches_slice_vjp(stride):
+    """The Pallas avg-pool backward (linear spread of g/counts) vs the
+    slice-formulation VJP — exact same math, different op structure."""
+    from cap2det_tpu.models import inception_v2 as iv2
+
+    r = np.random.RandomState(12)
+    x = r.randn(13, 7, 7, 24).astype(np.float32)
+    oh = ow = -(-7 // stride)
+    g = r.randn(13, oh, ow, 24).astype(np.float32)
+    got = np.asarray(pool_grad.avgpool_grad(
+        x.shape, jnp.float32, jnp.asarray(g), 3, stride, interpret=True
+    ))
+    _, vjp = jax.vjp(
+        lambda x: iv2._pool_slices(x, "pool_avg", 3, stride), jnp.asarray(x)
+    )
+    want = np.asarray(vjp(jnp.asarray(g))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_pool_default_gate():
+    """The measured shape heuristic: fused pools ONLY at many-ROI
+    small-spatial shapes (inc2 P=2000 regime); bench (N=1000) and
+    first-stage shapes keep the XLA forms (BENCH_NOTES.md r4)."""
+    from cap2det_tpu.models import inception_v2 as iv2
+
+    assert iv2._fused_pool_default((2000, 7, 7, 576))
+    assert iv2._fused_pool_default((4000, 4, 4, 1024))
+    assert not iv2._fused_pool_default((1000, 7, 7, 576))   # bench
+    assert not iv2._fused_pool_default((2, 64, 96, 576))    # first stage
+    assert not iv2._fused_pool_default((2000, 32, 32, 64))  # big spatial

@@ -105,24 +105,28 @@ def main():
     # HLO text for fusion -> source mapping (compile before tracing).
     compiled = train_step.lower(state, batch, step_rng).compile()
     hlo = compiled.as_text()
-    # fusion name -> first metadata op_name/source seen in its body.
+    # instruction name -> metadata op_name/source. Every named HLO
+    # instruction gets its own metadata; fusions fall back to the first
+    # annotated instruction after their definition (their body).
     meta_of = {}
     cur = None
     for line in hlo.splitlines():
-        mdef = re.search(r"%?([\w.\-]+)\s*=\s*\S+ fusion\(", line)
-        if mdef:
-            cur = mdef.group(1)
-        mcall = re.search(r'calls=%?([\w.\-]+)', line)
-        if mdef and mcall:
-            meta_of.setdefault(mdef.group(1), "")
+        mdef = re.search(r"%([\w.\-]+)\s*=", line)
         mm = re.search(r'metadata=\{op_name="([^"]+)"'
                        r'(?:.*?source_file="([^"]+)".*?source_line=(\d+))?',
                        line)
-        if mm and cur and not meta_of.get(cur):
+        label = None
+        if mm:
             src = ""
             if mm.group(2):
                 src = " %s:%s" % (os.path.basename(mm.group(2)), mm.group(3))
-            meta_of[cur] = mm.group(1)[:110] + src
+            label = mm.group(1)[:110] + src
+        if mdef:
+            cur = mdef.group(1)
+            if label:
+                meta_of[cur] = label
+        elif label and cur and not meta_of.get(cur):
+            meta_of[cur] = label
 
     state, logs = train_step(state, batch, step_rng)  # warm (already compiled)
     float(logs["loss/total_loss"].astype(jnp.float32))

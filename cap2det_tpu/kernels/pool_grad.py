@@ -1,18 +1,22 @@
-"""Fused SAME-padded max-pool backward as a Pallas TPU kernel.
+"""Fused SAME-padded pooling (fwd, max-bwd, avg-bwd) as Pallas kernels.
 
-Status: OPT-IN (CAP2DET_POOL_GRAD=fused), not the default. Isolated,
-the kernel beats the slice-formulation VJP (1.7 vs 3.1 ms at the
-Mixed_5c pool, bench shapes) — but at the second_stage fwd+bwd level the
-slice VJP wins (11.6 vs 14.7 ms): a Pallas custom call is a fusion
-barrier, while the slice chain's shifted ops fuse into the neighboring
-conv backwards. Recorded in BENCH_NOTES.md round 4 as the fourth
-isolated-vs-composite reversal in this repo.
+Status: DEFAULT at many-ROI small-spatial shapes, opt-in elsewhere
+(see inception_v2._fused_pool_default — the measured gate). At the
+voc07_inc2 shapes ([2000, 7x7/4x4, C]) XLA's reduce_window runs 10-30x
+off the traffic floor (5a max fwd alone 5.2 ms in-situ) and routing all
+second-stage pools through these kernels takes the inc2 step 40.0 ->
+34.4 ms. At bench shapes (N=1000) the SAME kernels regress the step
+(custom calls un-fuse the slice-VJP chains that XLA fuses into the conv
+backwards there), so bench keeps the XLA forms — both sides pinned by
+step-level A/B in BENCH_NOTES.md round 4.
 
-What the kernel does: one program loads a [GN, H, W, CB] activation
-block (the second-stage pools' spatial extent is tiny, 7x7/4x4),
-recomputes the pooled maxima with static shifted slices, routes the
-upstream gradient through a first-tie max mask, and accumulates dx
-entirely in VMEM.
+What the kernels do: one program loads a [GN, H, W, CB] block, computes
+every pool tap as a VMEM value via static shifted slices
+(reshape-deinterleave for stride 2 — Mosaic only allows stride-1 vector
+slices); the backward recomputes the pooled maxima, routes the upstream
+gradient through a first-tie max mask, and accumulates dx entirely in
+VMEM; the avg backward spreads g/counts (a linear op, no activation
+input).
 
 Tie routing follows TF MaxPoolGrad (reference models/utils.py:165-177
 trains under it): the FULL gradient goes to the first maximal element in
@@ -168,7 +172,7 @@ def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=128,
             "avgpool_grad: %s too large for the VMEM block budget" %
             (x_shape,)
         )
-    gn = min(gn, max(8, -(-n // 8) * 8))
+    gn = _pick_rows(n, gn)
     pad_c = (-c) % cb
     if pad_c:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
@@ -275,7 +279,7 @@ def pool_fwd(x, kind, kernel, stride, channel_block=128, interpret=False):
             "pool_fwd: %s too large for the VMEM block budget; use "
             "reduce_window" % (x.shape,)
         )
-    gn = min(gn, max(8, -(-n // 8) * 8))
+    gn = _pick_rows(n, gn)
 
     pad_c = (-c) % cb
     if pad_c:
@@ -314,6 +318,17 @@ def _block_rows(h, w, kernel, stride, cb):
     return int(max(0, min(gn - gn % 8, 512)))
 
 
+def _pick_rows(n, gn_max):
+    """Largest multiple-of-8 block size <= gn_max that divides n, when
+    one exists — avoids the N-padding pad ops around every kernel call
+    (profiled at ~0.45 ms/step at inc2, BENCH_NOTES.md r4). Falls back
+    to gn_max (with padding) when n has no suitable divisor."""
+    for gn in range(min(gn_max, n) - min(gn_max, n) % 8, 7, -8):
+        if n % gn == 0:
+            return gn
+    return gn_max
+
+
 def supported(shape, kernel, stride, channel_block=128):
     """Whether the Pallas path applies: spatial extent small enough that
     a >=8-row block fits the VMEM budget (the second-stage case). Large
@@ -335,7 +350,7 @@ def maxpool_grad(x, g, kernel, stride, channel_block=128, interpret=False):
             "maxpool_grad: %s too large for the VMEM block budget; use "
             "maxpool_grad_reference" % (x.shape,)
         )
-    gn = min(gn, max(8, -(-n // 8) * 8))
+    gn = _pick_rows(n, gn)
 
     pad_c = (-c) % cb
     if pad_c:

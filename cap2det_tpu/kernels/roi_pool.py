@@ -69,6 +69,44 @@ def _sample_coords(start, end, crop_size, extent):
     return idx, frac, inside
 
 
+def _sample_coords_scalar(start, end, crop_size, extent):
+    """`_sample_coords` with every per-tap value computed as a rank-0
+    scalar (Python-unrolled) instead of elements of an [S] vector.
+
+    The kernel's tap loops are statically unrolled, so each iteration
+    needs idx/frac/mask as SCALARS — extracting them from a vector value
+    forces a VPU->scalar-unit round trip per read, and the dynamic-slice
+    start depending on the vector pipeline serializes every iteration
+    (measured: the x-pass dynamic reads alone were 3.9 ms of the 9.3 ms
+    inc2-shape forward, BENCH_NOTES r4). Computing the whole chain from
+    the SMEM box scalars keeps it on the scalar core. Expression order
+    matches `_sample_coords` exactly for bit-identical results.
+    """
+    h_max = extent - 1
+    idxs, fracs, insides = [], [], []
+    for i in range(crop_size):
+        if crop_size > 1:
+            c = start * h_max + float(i) * (end - start) * h_max / (
+                crop_size - 1)
+        else:
+            c = (start + end) * 0.5 * h_max
+        inside = jnp.where((c >= 0.0) & (c <= h_max), 1.0, 0.0)
+        idx = jnp.clip(jnp.floor(c), 0, extent - 2).astype(jnp.int32)
+        fracs.append((c - idx.astype(jnp.float32)) * inside)
+        idxs.append(idx)
+        insides.append(inside)
+    return idxs, fracs, insides
+
+
+def _coords(start, end, crop_size, extent):
+    """Dispatch between vector and scalar-unrolled sampling
+    (CAP2DET_ROI_COORDS=vector reverts; both are bit-identical — pinned
+    by tests/test_roi_pool_kernel.py)."""
+    if os.environ.get("CAP2DET_ROI_COORDS", "scalar") == "scalar":
+        return _sample_coords_scalar(start, end, crop_size, extent)
+    return _sample_coords(start, end, crop_size, extent)
+
+
 def _window_tier(width):
     """Static narrow-path window size, or None when not worthwhile.
 
@@ -120,6 +158,46 @@ def _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, win, width,
         )
 
 
+def _crop_pool_pass(feat_ref, tmp_ref, pool_ref, ys, xs, x0, win, width,
+                    crop_size):
+    """`_crop_pass` with the 2x2/s2 max-pool's X-REDUCTION folded into
+    the x-pass: the two crop columns of each pooled output column are
+    lerped back-to-back (both live in registers) and their elementwise
+    max lands NATURALLY in pool_ref[q] ([ps, S, CB]: q on the untiled
+    dim, crop rows on sublanes) — replacing 2 transposed [S, CB] stores
+    into crop_ref (a 14-tile scatter each) with 1 natural store, and
+    killing the [S,S,CB]->[ps,2,ps,2,CB] double tiled-dim reshape of the
+    separate pool phase. The y-pair reduction happens once per proposal
+    on pool_ref (a single sublane deinterleave) in `_fwd_kernel`.
+    Bit-exact: max is associative/commutative, so pairing x then y
+    equals the joint 2x2 window max. Only for pool 2x2/s2 with even
+    crop_size (every shipped config); others keep the generic path."""
+    y_idx, y_frac, y_in = ys
+    x_idx, x_frac, x_in = xs
+    full = win == width
+    for i in range(crop_size):
+        if full:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), :, :].astype(jnp.float32)
+        else:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), pl.ds(x0, win), :].astype(
+                jnp.float32
+            )
+        w = y_in[i]
+        tmp_ref[0:win, i, :] = (
+            rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
+        ).astype(tmp_ref.dtype)
+    for q in range(crop_size // 2):
+        vals = []
+        for j in (2 * q, 2 * q + 1):
+            start = x_idx[j] if full else x_idx[j] - x0
+            cols = tmp_ref[pl.ds(start, 2), :, :].astype(jnp.float32)
+            w = x_in[j]
+            vals.append(
+                cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
+            )
+        pool_ref[q, :, :] = jnp.maximum(vals[0], vals[1])
+
+
 def _narrow_window(x_idx, crop_size, width, window):
     """(x0 aligned start, narrow-path condition) for one proposal."""
     x_lo = jnp.minimum(x_idx[0], x_idx[crop_size - 1])
@@ -130,42 +208,57 @@ def _narrow_window(x_idx, crop_size, width, window):
     return x0, (x_hi + 2 - x0) <= window
 
 
-def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, *,
-                crop_size, pool_kernel, pool_stride, group, window):
+def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, pool_ref,
+                *, crop_size, pool_kernel, pool_stride, group, window):
     height, width, cb = feat_ref.shape[1:]
     p_base = pl.program_id(2) * group
     pooled_size = (crop_size - pool_kernel) // pool_stride + 1
+    fold = (
+        pool_kernel == 2 and pool_stride == 2 and crop_size % 2 == 0
+        and os.environ.get("CAP2DET_ROI_FWD_POOL", "fold") == "fold"
+    )
     for g in range(group):
         p = p_base + g
         y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
 
-        ys = _sample_coords(y1, y2, crop_size, height)
-        xs = _sample_coords(x1, x2, crop_size, width)
+        ys = _coords(y1, y2, crop_size, height)
+        xs = _coords(x1, x2, crop_size, width)
         x_idx = xs[0]
 
+        pass_fn = _crop_pool_pass if fold else _crop_pass
+        dst = pool_ref if fold else crop_ref
         if window is None:
-            _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
-                       width, crop_size)
+            pass_fn(feat_ref, tmp_ref, dst, ys, xs, None, width,
+                    width, crop_size)
         else:
             x0, narrow = _narrow_window(x_idx, crop_size, width, window)
 
             @pl.when(narrow)
             def _():
-                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, x0, window,
-                           width, crop_size)
+                pass_fn(feat_ref, tmp_ref, dst, ys, xs, x0, window,
+                        width, crop_size)
 
             @pl.when(jnp.logical_not(narrow))
             def _():
-                _crop_pass(feat_ref, tmp_ref, crop_ref, ys, xs, None, width,
-                           width, crop_size)
+                pass_fn(feat_ref, tmp_ref, dst, ys, xs, None, width,
+                        width, crop_size)
 
-        crop = crop_ref[...]
-        windows = crop.reshape(
-            pooled_size, pool_kernel, pooled_size, pool_kernel, cb
-        )
-        out_ref[0, g, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(
-            out_ref.dtype
-        )
+        if fold:
+            m = pool_ref[...]  # [ps(x), S(y rows), CB], x already reduced
+            red = jnp.max(
+                m.reshape(pooled_size, pooled_size, pool_kernel, cb), axis=2
+            )  # [ps(x), ps(y), CB]
+            out_ref[0, g, :, :, :] = jnp.transpose(red, (1, 0, 2)).astype(
+                out_ref.dtype
+            )
+        else:
+            crop = crop_ref[...]
+            windows = crop.reshape(
+                pooled_size, pool_kernel, pooled_size, pool_kernel, cb
+            )
+            out_ref[0, g, :, :, :] = jnp.max(windows, axis=(1, 3)).astype(
+                out_ref.dtype
+            )
 
 
 def _interp_matrix(start, end, crop_size, extent):
@@ -223,8 +316,8 @@ def _bwd_kernel(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref, tmp_ref,
     for gi in range(group):
         p = p_base + gi
         y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-        ys = _sample_coords(y1, y2, crop_size, height)
-        xs = _sample_coords(x1, x2, crop_size, width)
+        ys = _coords(y1, y2, crop_size, height)
+        xs = _coords(x1, x2, crop_size, width)
         y_idx, y_frac, y_in = ys
         x_idx = xs[0]
 
@@ -336,8 +429,8 @@ def _bwd_kernel_cat(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref,
     for gi in range(group):
         p = p_base + gi
         y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-        ys = _sample_coords(y1, y2, s, height)
-        xs = _sample_coords(x1, x2, s, width)
+        ys = _coords(y1, y2, s, height)
+        xs = _coords(x1, x2, s, width)
         x_idx = xs[0]
 
         # Recompute the crop (same windowed branch as the forward).
@@ -429,8 +522,8 @@ def _bwd_kernel_catv(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_cat_ref,
     for gi in range(group):
         p = p_base + gi
         y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-        ys = _sample_coords(y1, y2, s, height)
-        xs = _sample_coords(x1, x2, s, width)
+        ys = _coords(y1, y2, s, height)
+        xs = _coords(x1, x2, s, width)
         x_idx = xs[0]
         crop_view = crop_cat_ref.at[pl.ds(gi * s, s)]
 
@@ -785,6 +878,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
         scratch_shapes=[
             pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            pltpu.VMEM((pooled, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.transpose(boxes, (0, 2, 1)), features)

@@ -611,9 +611,15 @@ def _pool_p_bwd(kind, kernel, stride, x, g):
                 and pool_grad.supported(x.shape, kernel, stride)):
             return (pool_grad.maxpool_grad(x, g, kernel, stride),)
         return (pool_grad.maxpool_grad_reference(x, g, kernel, stride),)
-    if (kind == "pool_avg" and variant == "fused"
+    if (kind == "pool_avg"
+            and (variant == "fused"
+                 or os.environ.get("CAP2DET_AVG_BWD") == "fused")
             and jax.default_backend() == "tpu"
             and pool_grad.supported(x.shape, kernel, stride)):
+        # Unlike the max kernel, avgpool_grad is linear in g and reads
+        # NO forward values, so it carries no fusion-barrier risk of
+        # un-fusing a forward replay; CAP2DET_AVG_BWD=fused selects it
+        # independently of the max-pool variant for step-level A/Bs.
         return (pool_grad.avgpool_grad(x.shape, x.dtype, g, kernel,
                                        stride),)
     if (kind == "pool_avg" and stride == 1 and kernel % 2 == 1

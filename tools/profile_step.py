@@ -89,11 +89,83 @@ def build_step(shape_name):
     return train_step, state, batch, step_rng
 
 
+def _shape_elems(shape_str):
+    dims = shape_str.split("[", 1)[1].rstrip("]")
+    n = 1
+    for d in dims.split(","):
+        if d.strip().isdigit():
+            n *= int(d)
+    return n
+
+
+def conv_table(hlo):
+    """Per-convolution FLOPs from the compiled HLO, keyed by the
+    enclosing fusion (or the bare convolution) instruction name.
+
+    Joined with traced durations this answers WHICH convs run far from
+    the chip's measured ~132 TFLOP/s conv ceiling — in-situ, not in the
+    isolated sub-jits that repeatedly mis-ranked the blocks
+    (BENCH_NOTES.md r4 items 9/15)."""
+    shape_of = {}  # instruction name -> shape string
+    for line in hlo.splitlines():
+        md = re.search(r"%([\w.\-]+)\s*=\s*((?:\w+\[[\d,]*\]|\([^)]*\)))",
+                       line)
+        if md:
+            shape_of[md.group(1)] = md.group(2)
+
+    comp_convs = {}  # computation name -> [(flops, desc)]
+    cur_comp = None
+    fusion_of_comp = {}
+    for line in hlo.splitlines():
+        if line and not line.startswith(" ") and "{" in line:
+            mname = re.match(r"^%?([\w.\-]+)", line.strip())
+            cur_comp = mname.group(1) if mname else None
+        mfus = re.search(r"%([\w.\-]+)\s*=.*fusion\(.*calls=%?([\w.\-]+)",
+                         line)
+        if mfus:
+            fusion_of_comp[mfus.group(2)] = mfus.group(1)
+        mconv = re.search(
+            r"%([\w.\-]+)\s*=\s*(\w+\[[\d,]*\])[^=]*convolution\("
+            r"[^)]*%([\w.\-]+)(?:\s+[^,]*)?,\s*[^)]*%([\w.\-]+)", line)
+        if mconv:
+            out_s = mconv.group(2)
+            lhs_s = shape_of.get(mconv.group(3), "?")
+            rhs_s = shape_of.get(mconv.group(4), "?")
+            mwin = re.search(r"window=\{size=(\S+?)[\s}]", line)
+            mdl = re.search(r"dim_labels=(\S+?)[,}\s]", line)
+            dl = mdl.group(1) if mdl else "b01f_01io->b01f"
+            try:
+                out_e = _shape_elems(out_s)
+                rhs_e = _shape_elems(rhs_s)
+                # flops = 2 * |out| * |rhs| / |rhs output-feature extent|
+                # (each output element contracts over kh*kw*cin rhs
+                # elements; exact for fwd, grad-data and grad-filter
+                # convs alike under their permuted dim_labels).
+                rhs_dims = [int(x) for x in
+                            rhs_s.split("[", 1)[1].rstrip("]").split(",")]
+                rhs_labels = dl.split("_")[1].split("-")[0]
+                o_pos = rhs_labels.index("o")
+                flops = 2.0 * out_e * rhs_e / rhs_dims[o_pos]
+            except Exception:
+                flops = 0.0
+            desc = "%s conv %s x %s -> %s %s" % (
+                dl, lhs_s, rhs_s, out_s,
+                "win=%s" % mwin.group(1) if mwin else "")
+            comp_convs.setdefault(cur_comp, []).append((flops, desc))
+    out = {}
+    for comp, convs in comp_convs.items():
+        key = fusion_of_comp.get(comp, comp)
+        out.setdefault(key, []).extend(convs)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--shape", default="bench")
     parser.add_argument("--top", type=int, default=40)
+    parser.add_argument("--convs", action="store_true",
+                        help="print per-convolution TFLOP/s table")
     parser.add_argument("--trace_dir", default="/tmp/step_trace")
     args = parser.parse_args()
 
@@ -164,6 +236,29 @@ def main():
             "name": name[:60],
             "src": meta_of.get(name, meta_of.get(name.split(".")[0], ""))[:130],
         }))
+
+    if args.convs:
+        convs = conv_table(hlo)
+        crows = []
+        for name, items in convs.items():
+            dur, cnt = agg.get(name, [0.0, 0])
+            ms = dur / 1e3 / args.steps
+            gflop = sum(f for f, _ in items) / 1e9
+            crows.append((ms, gflop, name, items))
+        crows.sort(key=lambda r: -r[0])
+        print(json.dumps({"conv_total_ms": round(sum(r[0] for r in crows), 2),
+                          "conv_total_gflop":
+                          round(sum(r[1] for r in crows), 2)}))
+        for ms, gflop, name, items in crows:
+            if ms <= 0 and gflop <= 0:
+                continue
+            print(json.dumps({
+                "ms_per_step": round(ms, 3),
+                "gflop": round(gflop, 3),
+                "tflops": round(gflop / ms, 1) if ms > 0 else None,
+                "name": name[:50],
+                "convs": [d[:150] for _, d in items],
+            }))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,9 @@ do not depend on the platform when the TF forms are selected.
 from __future__ import annotations
 
 import functools
+import os
+
+from cap2det_tpu.kernels.roi_pool import _ragged_c
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +47,20 @@ def _same_pads(size, kernel, stride):
     out = -(-size // stride)
     pad_total = max((out - 1) * stride + kernel - size, 0)
     return out, pad_total // 2, pad_total - pad_total // 2
+
+
+def _resolve_cb(channel_block, channels):
+    """Channel block: explicit arg > CAP2DET_POOL_CB env (an int, or
+    'full' for the whole axis — a Mosaic-legal lane block that skips the
+    576->640 pad entirely and cuts the grid's channel axis to 1) > 128."""
+    if channel_block:
+        return channel_block
+    v = os.environ.get("CAP2DET_POOL_CB")
+    if v == "full":
+        return channels
+    if v:
+        return int(v)
+    return 128
 
 
 def _upsample(v, stride, axis):
@@ -160,12 +177,12 @@ def _avg_grad_kernel(g_ref, dx_ref, *, kernel, stride):
     )
 
 
-def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=128,
+def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=None,
                  interpret=False):
     """dx of y = SAME avg-pool given upstream g. Linear — only shapes of
     x are needed. [N, H, W, C]."""
     n, h, w, c = x_shape
-    cb = channel_block
+    cb = _resolve_cb(channel_block, c)
     gn = _block_rows(h, w, kernel, stride, cb)
     if gn < 8:
         raise ValueError(
@@ -173,7 +190,7 @@ def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=128,
             (x_shape,)
         )
     gn = _pick_rows(n, gn)
-    pad_c = (-c) % cb
+    pad_c = 0 if _ragged_c() else (-c) % cb
     if pad_c:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     pad_n = (-n) % gn
@@ -182,7 +199,7 @@ def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=128,
     np_, cp = n + pad_n, c + pad_c
     oh, ow = g.shape[1:3]
 
-    grid = (np_ // gn, cp // cb)
+    grid = (np_ // gn, pl.cdiv(cp, cb))
     out = pl.pallas_call(
         functools.partial(_avg_grad_kernel, kernel=kernel, stride=stride),
         grid=grid,
@@ -269,10 +286,10 @@ def _fwd_pool_kernel(x_ref, out_ref, *, kind, kernel, stride):
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def pool_fwd(x, kind, kernel, stride, channel_block=128, interpret=False):
+def pool_fwd(x, kind, kernel, stride, channel_block=None, interpret=False):
     """Fused SAME pool forward for small-spatial inputs. [N,H,W,C]."""
     n, h, w, c = x.shape
-    cb = channel_block
+    cb = _resolve_cb(channel_block, c)
     gn = _block_rows(h, w, kernel, stride, cb)
     if gn < 8:
         raise ValueError(
@@ -281,7 +298,7 @@ def pool_fwd(x, kind, kernel, stride, channel_block=128, interpret=False):
         )
     gn = _pick_rows(n, gn)
 
-    pad_c = (-c) % cb
+    pad_c = 0 if _ragged_c() else (-c) % cb
     if pad_c:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     pad_n = (-n) % gn
@@ -291,7 +308,7 @@ def pool_fwd(x, kind, kernel, stride, channel_block=128, interpret=False):
     oh, _, _ = _same_pads(h, kernel, stride)
     ow, _, _ = _same_pads(w, kernel, stride)
 
-    grid = (np_ // gn, cp // cb)
+    grid = (np_ // gn, pl.cdiv(cp, cb))
     out = pl.pallas_call(
         functools.partial(_fwd_pool_kernel, kind=kind, kernel=kernel,
                           stride=stride),
@@ -337,13 +354,13 @@ def supported(shape, kernel, stride, channel_block=128):
     return _block_rows(h, w, kernel, stride, channel_block) >= 8
 
 
-def maxpool_grad(x, g, kernel, stride, channel_block=128, interpret=False):
+def maxpool_grad(x, g, kernel, stride, channel_block=None, interpret=False):
     """dx of y = SAME max-pool(x) given upstream g, first-tie routing.
 
     x: [N, H, W, C]; g: [N, OH, OW, C] with OH/OW = ceil(H/stride) etc.
     """
     n, h, w, c = x.shape
-    cb = channel_block
+    cb = _resolve_cb(channel_block, c)
     gn = _block_rows(h, w, kernel, stride, cb)
     if gn < 8:
         raise ValueError(
@@ -352,7 +369,7 @@ def maxpool_grad(x, g, kernel, stride, channel_block=128, interpret=False):
         )
     gn = _pick_rows(n, gn)
 
-    pad_c = (-c) % cb
+    pad_c = 0 if _ragged_c() else (-c) % cb
     if pad_c:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
@@ -363,7 +380,7 @@ def maxpool_grad(x, g, kernel, stride, channel_block=128, interpret=False):
     np_, _, _, cp = x.shape
     oh, ow = g.shape[1:3]
 
-    grid = (np_ // gn, cp // cb)
+    grid = (np_ // gn, pl.cdiv(cp, cb))
     out = pl.pallas_call(
         functools.partial(_grad_kernel, kernel=kernel, stride=stride),
         grid=grid,

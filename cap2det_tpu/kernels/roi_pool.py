@@ -811,9 +811,26 @@ def estimate_flops(batch, num_proposals, height, width, channels,
     return {"fwd": float(fwd), "bwd": float(bwd)}
 
 
-def _pad_channels(x, cb):
-    """Pads the channel axis to a multiple of the block size (Mosaic
-    requires lane-dim blocks to be multiples of 128 or the full axis)."""
+def _ragged_c():
+    """Whether the FORWARD/pool kernels take the raw 576-channel arrays
+    and let Pallas mask the last partial 128-lane block (supported —
+    probed on this toolchain), instead of XLA-side pad-to-640 +
+    slice-back copies. Step-level A/B (BENCH_NOTES r4): ragged wins
+    inc2 (31.2-31.5 vs 31.9-32.8 ms, the pad/slice copies around the
+    fwd + pool kernels) but REGRESSES bench by ~1 ms when applied to
+    the ROI BACKWARD too — so the backward always pads (force=True);
+    CAP2DET_RAGGED_C=0 reverts the forward/pools as well."""
+    return os.environ.get("CAP2DET_RAGGED_C", "1") == "1"
+
+
+def _pad_channels(x, cb, force=False):
+    """Pads the channel axis to a multiple of the block size. In the
+    default CAP2DET_RAGGED_C=1 mode the slice/cat kernels skip this
+    (Pallas masks partial lane blocks natively); the mm/ymm variants
+    pass force=True — their grids and matmul shapes assume exact
+    division."""
+    if _ragged_c() and not force:
+        return x
     channels = x.shape[-1]
     pad = (-channels) % cb
     if pad:
@@ -852,7 +869,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
     cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
-    grid = (batch, channels // cb, num_p // group)
+    grid = (batch, pl.cdiv(channels, cb), num_p // group)
     kernel = functools.partial(
         _fwd_kernel,
         crop_size=crop_size,
@@ -893,7 +910,7 @@ def _forward_ymm(features, boxes, crop_size, pool_kernel, pool_stride,
             % (features.shape,)
         )
     orig_channels = features.shape[-1]
-    features = _pad_channels(features, channel_block)
+    features = _pad_channels(features, channel_block, force=True)
     batch, height, width, channels = features.shape
     orig_p = boxes.shape[1]
     boxes = _pad_proposals(boxes, group)
@@ -943,7 +960,7 @@ def _forward_mm(features, boxes, crop_size, pool_kernel, pool_stride,
             % (features.shape,)
         )
     orig_channels = features.shape[-1]
-    features = _pad_channels(features, channel_block)
+    features = _pad_channels(features, channel_block, force=True)
     batch, height, width, channels = features.shape
     orig_p = boxes.shape[1]
     boxes = _pad_proposals(boxes, group)
@@ -995,8 +1012,8 @@ def _forward_mm(features, boxes, crop_size, pool_kernel, pool_stride,
 def _backward_mm(features, boxes, grad, crop_size, pool_kernel, pool_stride,
                  channel_block, interpret, group):
     orig_channels = features.shape[-1]
-    features = _pad_channels(features, channel_block)
-    grad = _pad_channels(grad, channel_block)
+    features = _pad_channels(features, channel_block, force=True)
+    grad = _pad_channels(grad, channel_block, force=True)
     batch, height, width, channels = features.shape
     boxes = _pad_proposals(boxes, group)
     num_p = boxes.shape[1]
@@ -1052,8 +1069,8 @@ def _backward_mm(features, boxes, grad, crop_size, pool_kernel, pool_stride,
 def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
               channel_block, interpret, group):
     orig_channels = features.shape[-1]
-    features = _pad_channels(features, channel_block)
-    grad = _pad_channels(grad, channel_block)
+    features = _pad_channels(features, channel_block, force=True)
+    grad = _pad_channels(grad, channel_block, force=True)
     batch, height, width, channels = features.shape
     boxes = _pad_proposals(boxes, group)
     num_p = boxes.shape[1]
@@ -1069,7 +1086,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     # fwd+bwd at bench shapes (BENCH_NOTES.md round 4); "scatter" is the
     # sparse 2-row RMW form, kept selectable for A/B. Read at trace time.
     variant = os.environ.get("CAP2DET_ROI_BWD", "cat")
-    grid = (batch, channels // cb, num_p // group)
+    grid = (batch, pl.cdiv(channels, cb), num_p // group)
     if variant == "catv":
         kernel = functools.partial(
             _bwd_kernel_catv,

@@ -495,6 +495,116 @@ def _bwd_kernel_cat(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_ref,
     )  # [H, W, CB]
 
 
+def _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs, x0, win,
+                    width, crop_size):
+    """Backward fold recompute: the same y-pass + paired x-lerps as
+    `_crop_pool_pass`, but capturing BOTH the pair maxima (mq) and the
+    first-tie x winner mask (hx: column 2q takes ties) — everything the
+    hierarchical routing needs, with no full crop materialized."""
+    y_idx, y_frac, y_in = ys
+    x_idx, x_frac, x_in = xs
+    full = win == width
+    for i in range(crop_size):
+        if full:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), :, :].astype(jnp.float32)
+        else:
+            rows = feat_ref[0, pl.ds(y_idx[i], 2), pl.ds(x0, win), :].astype(
+                jnp.float32
+            )
+        w = y_in[i]
+        tmp_ref[0:win, i, :] = (
+            rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
+        ).astype(tmp_ref.dtype)
+    for q in range(crop_size // 2):
+        vals = []
+        for j in (2 * q, 2 * q + 1):
+            start = x_idx[j] if full else x_idx[j] - x0
+            cols = tmp_ref[pl.ds(start, 2), :, :].astype(jnp.float32)
+            w = x_in[j]
+            vals.append(
+                cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
+            )
+        mq_ref[q, :, :] = jnp.maximum(vals[0], vals[1])
+        hx_ref[q, :, :] = (vals[0] >= vals[1]).astype(jnp.float32)
+
+
+def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
+                     mq_ref, hx_ref, dtmp_ref, *, crop_size, pool_kernel,
+                     pool_stride, group, window):
+    """`_bwd_kernel_cat` with HIERARCHICAL first-tie routing folded into
+    the recompute (2x2/s2 pools only). Row-major first-tie decomposes
+    exactly: the x winner within each row is the left column on ties
+    (hx, captured during the paired x-lerps), and the y winner between
+    the two row maxima is the upper row on ties (hy) — for window
+    elements A,B,C,D in row-major order this picks the first maximal
+    one, identical to the old taken-mask scan. Kills the full crop
+    scratch, the [S,S,CB]->[ps,2,ps,2,CB] double tiled-dim reshape and
+    the four taken-mask passes over tiny [ps,ps,CB] values; the dcropT
+    it builds is consumed by the same x-dot with dim0/dim0 contraction
+    (dtmp[w,i] = sum_j wx[j,w] dcT[j,i] — unchanged math) and the same
+    concatenated dF matmul."""
+    height, width, cb = feat_ref.shape[1:]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    ps = (s - pool_kernel) // pool_stride + 1
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    wy_rows = []
+    for gi in range(group):
+        p = p_base + gi
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+        ys = _coords(y1, y2, s, height)
+        xs = _coords(x1, x2, s, width)
+        x_idx = xs[0]
+
+        if window is None:
+            _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs, None,
+                            width, width, s)
+        else:
+            x0, narrow = _narrow_window(x_idx, s, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs,
+                                x0, window, width, s)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs,
+                                None, width, width, s)
+
+        m = mq_ref[...]  # [ps(x), S(y rows), CB]
+        mp = m.reshape(ps, ps, pool_kernel, cb)
+        hy = (mp[:, :, 0, :] >= mp[:, :, 1, :]).astype(jnp.float32)
+        g = grad_ref[0, gi, :, :, :].astype(jnp.float32)  # [ps(y), ps(x), CB]
+        gt = jnp.transpose(g, (1, 0, 2))  # [ps(x), ps(y), CB]
+        dfull = jnp.stack([gt * hy, gt * (1.0 - hy)], axis=2).reshape(
+            ps, s, cb
+        )  # y-routed, rows interleaved back to S
+        hx = hx_ref[...]  # [ps(x), S, CB]
+        dct = jnp.stack([dfull * hx, dfull * (1.0 - hx)], axis=1).reshape(
+            s, s, cb
+        )  # [S_j, S_i, CB]
+
+        wx = _interp_matrix(x1, x2, s, width)  # [S, W]
+        dtmp_ref[:, gi * s:(gi + 1) * s, :] = jax.lax.dot_general(
+            wx, dct,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtmp_ref.dtype)  # [W, S, CB]
+        wy_rows.append(_interp_matrix(y1, y2, s, height))
+
+    wy_cat = jnp.concatenate(wy_rows, axis=0)  # [G*S, H]
+    dfeat_ref[0] += jax.lax.dot_general(
+        wy_cat, dtmp_ref[...],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, W, CB]
+
+
 def _bwd_kernel_catv(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_cat_ref,
                      tmp_ref, dtmp_ref, *, crop_size, pool_kernel,
                      pool_stride, group, window):
@@ -1081,11 +1191,15 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     cb = channel_block
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
-    # "cat" stages per-proposal dtmp slabs and lands the group's dF in
-    # one concatenated matmul (see _bwd_kernel_cat) — 19.2 -> 14.5 ms
-    # fwd+bwd at bench shapes (BENCH_NOTES.md round 4); "scatter" is the
-    # sparse 2-row RMW form, kept selectable for A/B. Read at trace time.
-    variant = os.environ.get("CAP2DET_ROI_BWD", "cat")
+    # "catf" (default) folds hierarchical first-tie routing into the
+    # recompute on top of "cat"'s concatenated dF matmul — bench step
+    # 38.6-39.7 -> 34.8-35.6 ms in the 3-round A/B (BENCH_NOTES r4);
+    # it needs a 2x2/s2 pool (every shipped config) and falls back to
+    # "cat" otherwise. "cat" stages per-proposal dtmp slabs and lands
+    # the group's dF in one concatenated matmul (19.2 -> 14.5 ms
+    # fwd+bwd over "scatter", the sparse 2-row RMW form, in r4).
+    # Read at trace time.
+    variant = os.environ.get("CAP2DET_ROI_BWD", "catf")
     grid = (batch, pl.cdiv(channels, cb), num_p // group)
     if variant == "catv":
         kernel = functools.partial(
@@ -1106,7 +1220,29 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )
-    elif variant == "cat":
+    elif variant == "catf" and pool_kernel == 2 and pool_stride == 2 \
+            and crop_size % 2 == 0:
+        pooled_rows = (crop_size - pool_kernel) // pool_stride + 1
+        kernel = functools.partial(
+            _bwd_kernel_catf,
+            crop_size=crop_size,
+            pool_kernel=pool_kernel,
+            pool_stride=pool_stride,
+            group=group,
+            window=_window_tier(width),
+        )
+        scratch = [
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
+            pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, group * crop_size, cb), jnp.float32),
+        ]
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )
+    elif variant == "cat" or variant == "catf":
         kernel = functools.partial(
             _bwd_kernel_cat,
             crop_size=crop_size,

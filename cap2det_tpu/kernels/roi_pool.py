@@ -962,6 +962,7 @@ def _pad_proposals(boxes, group):
 
 def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
              channel_block, interpret, group):
+    group = int(os.environ.get("CAP2DET_ROI_GROUP", group))
     if features.shape[1] < 2 or features.shape[2] < 2:
         # _sample_coords clamps to [0, extent-2]; extent 1 would produce
         # a -1 dynamic-slice start (out-of-bounds read). Fail loudly —
@@ -1178,6 +1179,8 @@ def _backward_mm(features, boxes, grad, crop_size, pool_kernel, pool_stride,
 
 def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
               channel_block, interpret, group):
+    group = int(os.environ.get("CAP2DET_ROI_BWD_GROUP",
+                               os.environ.get("CAP2DET_ROI_GROUP", group)))
     orig_channels = features.shape[-1]
     features = _pad_channels(features, channel_block, force=True)
     grad = _pad_channels(grad, channel_block, force=True)

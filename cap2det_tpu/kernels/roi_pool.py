@@ -1182,8 +1182,12 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     group = int(os.environ.get("CAP2DET_ROI_BWD_GROUP",
                                os.environ.get("CAP2DET_ROI_GROUP", group)))
     orig_channels = features.shape[-1]
-    features = _pad_channels(features, channel_block, force=True)
-    grad = _pad_channels(grad, channel_block, force=True)
+    # The backward pads by default: ragged bwd blocks regressed bench
+    # ~1 ms with the "cat" kernel (BENCH_NOTES r4 item 23).
+    # CAP2DET_RAGGED_BWD=1 retests under newer kernels.
+    bwd_pad = os.environ.get("CAP2DET_RAGGED_BWD", "0") != "1"
+    features = _pad_channels(features, channel_block, force=bwd_pad)
+    grad = _pad_channels(grad, channel_block, force=bwd_pad)
     batch, height, width, channels = features.shape
     boxes = _pad_proposals(boxes, group)
     num_p = boxes.shape[1]

@@ -542,6 +542,37 @@ def _pool_fast(x, kind, kernel, stride):
 
         if pool_grad.supported(x.shape, kernel, stride):
             return pool_grad.pool_fwd(x, kind, kernel, stride)
+    if v == "rw2" or (v is None and _separable_rw_default(x.shape)):
+        # Separable SAME pool: a KxK window is two 1-D reduce_windows
+        # (rows then cols) — exact for max, and for avg the rectangular
+        # counts factor as counts_h*counts_w. Halves the per-element
+        # window work at the stem's large spatial extents.
+        if kind == "pool_max":
+            r = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, kernel, 1, 1),
+                (1, stride, 1, 1), "SAME"
+            )
+            return jax.lax.reduce_window(
+                r, -jnp.inf, jax.lax.max, (1, 1, kernel, 1),
+                (1, 1, stride, 1), "SAME"
+            )
+        s1 = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, kernel, 1, 1), (1, stride, 1, 1),
+            "SAME"
+        )
+        sums = jax.lax.reduce_window(
+            s1, 0.0, jax.lax.add, (1, 1, kernel, 1), (1, 1, stride, 1),
+            "SAME"
+        )
+        ch = jax.lax.reduce_window(
+            jnp.ones((1, x.shape[1], 1, 1), x.dtype), 0.0, jax.lax.add,
+            (1, kernel, 1, 1), (1, stride, 1, 1), "SAME",
+        )
+        cw = jax.lax.reduce_window(
+            jnp.ones((1, 1, x.shape[2], 1), x.dtype), 0.0, jax.lax.add,
+            (1, 1, kernel, 1), (1, 1, stride, 1), "SAME",
+        )
+        return sums * (1.0 / (ch * cw))
     dims = (1, kernel, kernel, 1)
     strides = (1, stride, stride, 1)
     if kind == "pool_max":
@@ -570,6 +601,13 @@ def _pool_p(x, kind, kernel, stride):
 
 def _pool_p_fwd(x, kind, kernel, stride):
     return _pool_p(x, kind, kernel, stride), x
+
+
+def _separable_rw_default(shape):
+    """Separable 1-D reduce_windows by default only at large spatial
+    extents (the stem pools), pending the measured gate; placeholder
+    FALSE until the step A/B lands (CAP2DET_POOL_FWD=rw2 forces it)."""
+    return False
 
 
 def _fused_pool_default(shape):

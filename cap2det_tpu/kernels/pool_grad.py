@@ -143,6 +143,56 @@ def _routed_taps(xf, gf, kernel, stride, h, w):
     return acc, pad_t, pad_l
 
 
+def _routed_taps_hier(xf, gf, kernel, stride, h, w):
+    """`_routed_taps` with the first-tie routing decomposed
+    hierarchically (the catf trick, generalized to KxK): row maxima
+    Rrow[y, ox] = max over the window's x-taps at EVERY input row are
+    computed once; the y-routing picks the first window row whose
+    Rrow equals the pooled max (k taps over [N, Hp, OW, C] — OW-wide,
+    not Wp-wide), and the x-routing then distributes each row's
+    gradient to its first in-row maximum. Row-major-equivalent: the
+    first window row containing the max gets it (upper on ties), and
+    within that row the leftmost maximum — exactly the flat taken-mask
+    scan's order, at ~k+k tap passes instead of k^2 (pinned vs the
+    flat form and the tf.nn.max_pool2d goldens in
+    tests/test_pool_grad_kernel.py)."""
+    oh, pad_t, pad_b = _same_pads(h, kernel, stride)
+    ow, pad_l, pad_r = _same_pads(w, kernel, stride)
+    hp, wp = h + pad_t + pad_b, w + pad_l + pad_r
+    n, cb = xf.shape[0], xf.shape[3]
+    xp = jnp.pad(
+        xf,
+        ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
+        constant_values=-jnp.inf,
+    )
+    xcols = [_sslice(xp, 2, kx, ow, stride) for kx in range(kernel)]
+    rrow = functools.reduce(jnp.maximum, xcols)  # [N, Hp, OW, CB]
+    rows = [_sslice(rrow, 1, ky, oh, stride) for ky in range(kernel)]
+    out = functools.reduce(jnp.maximum, rows)  # [N, OH, OW, CB]
+
+    takeny = jnp.zeros_like(out)
+    drrow = jnp.zeros((n, hp, ow, cb), jnp.float32)
+    for ky in range(kernel):
+        hit = (rows[ky] >= out).astype(jnp.float32) * (1.0 - takeny)
+        takeny = jnp.maximum(takeny, hit)
+        contrib = _upsample(gf * hit, stride, 1)
+        drrow = drrow + jnp.pad(
+            contrib,
+            ((0, 0), (ky, hp - ky - contrib.shape[1]), (0, 0), (0, 0)),
+        )
+    takenx = jnp.zeros((n, hp, ow, cb), jnp.float32)
+    acc = jnp.zeros((n, hp, wp, cb), jnp.float32)
+    for kx in range(kernel):
+        hit = (xcols[kx] >= rrow).astype(jnp.float32) * (1.0 - takenx)
+        takenx = jnp.maximum(takenx, hit)
+        contrib = _upsample(drrow * hit, stride, 2)
+        acc = acc + jnp.pad(
+            contrib,
+            ((0, 0), (0, 0), (kx, wp - kx - contrib.shape[2]), (0, 0)),
+        )
+    return acc, pad_t, pad_l
+
+
 def _avg_grad_kernel(g_ref, dx_ref, *, kernel, stride):
     """SAME avg-pool backward of one block, entirely in VMEM: spread
     g/counts back over each tap (a linear op — no activation input)."""
@@ -216,7 +266,10 @@ def avgpool_grad(x_shape, dtype, g, kernel, stride, channel_block=None,
 
 def _grad_kernel(x_ref, g_ref, dx_ref, *, kernel, stride):
     h, w = x_ref.shape[1:3]
-    acc, pad_t, pad_l = _routed_taps(
+    route = (_routed_taps
+             if os.environ.get("CAP2DET_MAXPOOL_ROUTE") == "flat"
+             else _routed_taps_hier)
+    acc, pad_t, pad_l = route(
         x_ref[...].astype(jnp.float32),
         g_ref[...].astype(jnp.float32),
         kernel, stride, h, w,

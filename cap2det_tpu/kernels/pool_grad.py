@@ -211,17 +211,22 @@ def _avg_grad_kernel(g_ref, dx_ref, *, kernel, stride):
             counts = v if counts is None else counts + v
     gt = g_ref[...].astype(jnp.float32) / counts
     n, cb = gt.shape[0], gt.shape[3]
-    acc = jnp.zeros((n, hp, wp, cb), jnp.float32)
+    # Separable spread (linear, exact): distribute over the window's x
+    # taps first, then the y taps — 2k shifted adds instead of k^2.
+    gx = _upsample(gt, stride, 2)
+    sx = None
+    for kx in range(kernel):
+        t = jnp.pad(
+            gx, ((0, 0), (0, 0), (kx, wp - kx - gx.shape[2]), (0, 0))
+        )
+        sx = t if sx is None else sx + t
+    sy = _upsample(sx, stride, 1)
+    acc = None
     for ky in range(kernel):
-        for kx in range(kernel):
-            contrib = _upsample(_upsample(gt, stride, 1), stride, 2)
-            acc = acc + jnp.pad(
-                contrib,
-                ((0, 0),
-                 (ky, hp - ky - contrib.shape[1]),
-                 (kx, wp - kx - contrib.shape[2]),
-                 (0, 0)),
-            )
+        t = jnp.pad(
+            sy, ((0, 0), (ky, hp - ky - sy.shape[1]), (0, 0), (0, 0))
+        )
+        acc = t if acc is None else acc + t
     dx_ref[...] = acc[:, pad_t:pad_t + h, pad_l:pad_l + w, :].astype(
         dx_ref.dtype
     )
@@ -313,28 +318,31 @@ def _fwd_pool_kernel(x_ref, out_ref, *, kind, kernel, stride):
         xf, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
         constant_values=fill,
     )
-    acc = None
-    for ky in range(kernel):
-        for kx in range(kernel):
-            v = _sslice(_sslice(xp, 1, ky, oh, stride), 2, kx, ow, stride)
-            if acc is None:
-                acc = v
-            elif kind == "pool_max":
-                acc = jnp.maximum(acc, v)
-            else:
-                acc = acc + v
+    # Separable: reduce the window's rows first ([*, Hp, OW] taps), then
+    # the columns — 2k tap passes instead of k^2, exact for max and for
+    # the rectangular-count avg (counts_h * counts_w).
+    op = jnp.maximum if kind == "pool_max" else (lambda a, b: a + b)
+    rcols = functools.reduce(
+        op, [_sslice(xp, 2, kx, ow, stride) for kx in range(kernel)]
+    )
+    acc = functools.reduce(
+        op, [_sslice(rcols, 1, ky, oh, stride) for ky in range(kernel)]
+    )
     if kind != "pool_max":
-        ones = jnp.pad(
-            jnp.ones((1, h, w, 1), jnp.float32),
-            ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
-        )
-        counts = None
-        for ky in range(kernel):
-            for kx in range(kernel):
-                v = _sslice(
-                    _sslice(ones, 1, ky, oh, stride), 2, kx, ow, stride
-                )
-                counts = v if counts is None else counts + v
+        def _axis_counts(size, osize, pad_lo, pad_hi, axis):
+            ones = jnp.pad(
+                jnp.ones((1,) * axis + (size,) + (1,) * (3 - axis),
+                         jnp.float32),
+                [(0, 0)] * axis + [(pad_lo, pad_hi)]
+                + [(0, 0)] * (3 - axis),
+            )
+            return functools.reduce(
+                lambda a, b: a + b,
+                [_sslice(ones, axis, k, osize, stride)
+                 for k in range(kernel)],
+            )
+        counts = (_axis_counts(h, oh, pad_t, pad_b, 1)
+                  * _axis_counts(w, ow, pad_l, pad_r, 2))
         acc = acc / counts
     out_ref[...] = acc.astype(out_ref.dtype)
 

@@ -186,16 +186,48 @@ def _crop_pool_pass(feat_ref, tmp_ref, pool_ref, ys, xs, x0, win, width,
         tmp_ref[0:win, i, :] = (
             rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
         ).astype(tmp_ref.dtype)
+    adj = os.environ.get("CAP2DET_ROI_ADJ", "0") == "1"
     for q in range(crop_size // 2):
-        vals = []
-        for j in (2 * q, 2 * q + 1):
-            start = x_idx[j] if full else x_idx[j] - x0
-            cols = tmp_ref[pl.ds(start, 2), :, :].astype(jnp.float32)
-            w = x_in[j]
-            vals.append(
-                cols[0] * ((1.0 - x_frac[j]) * w) + cols[1] * (x_frac[j] * w)
-            )
-        pool_ref[q, :, :] = jnp.maximum(vals[0], vals[1])
+        j0, j1 = 2 * q, 2 * q + 1
+        s0 = x_idx[j0] if full else x_idx[j0] - x0
+        s1 = x_idx[j1] if full else x_idx[j1] - x0
+        w0, w1 = x_in[j0], x_in[j1]
+
+        def _pair(c0a, c0b, c1a, c1b):
+            v0 = c0a * ((1.0 - x_frac[j0]) * w0) + c0b * (x_frac[j0] * w0)
+            v1 = c1a * ((1.0 - x_frac[j1]) * w1) + c1b * (x_frac[j1] * w1)
+            pool_ref[q, :, :] = jnp.maximum(v0, v1)
+
+        if adj:
+            # The crop's x taps are evenly spaced, so the pooled pair's
+            # two 2-row windows usually overlap: ONE 3-row dynamic read
+            # covers both, replacing the second read with two scalar-
+            # predicated selects. Measured MIXED (BENCH_NOTES r4 item
+            # 29: -10% at P2000/wide but +12..18% at P500 and at
+            # narrow-box P2000 — the per-q branch overhead beats the
+            # saved read), so OFF by default; kept selectable.
+            # s0 <= win-3 keeps the 3-row read in bounds (dynamic_slice
+            # CLAMPS out-of-range starts, which would silently shift
+            # the window at the right edge).
+            near = (s1 <= s0 + 1) & (s0 <= win - 3)
+            d0 = s1 == s0
+
+            @pl.when(near)
+            def _():
+                c = tmp_ref[pl.ds(s0, 3), :, :].astype(jnp.float32)
+                c1a = jnp.where(d0, c[0], c[1])
+                c1b = jnp.where(d0, c[1], c[2])
+                _pair(c[0], c[1], c1a, c1b)
+
+            @pl.when(jnp.logical_not(near))
+            def _():
+                c0 = tmp_ref[pl.ds(s0, 2), :, :].astype(jnp.float32)
+                c1 = tmp_ref[pl.ds(s1, 2), :, :].astype(jnp.float32)
+                _pair(c0[0], c0[1], c1[0], c1[1])
+        else:
+            c0 = tmp_ref[pl.ds(s0, 2), :, :].astype(jnp.float32)
+            c1 = tmp_ref[pl.ds(s1, 2), :, :].astype(jnp.float32)
+            _pair(c0[0], c0[1], c1[0], c1[1])
 
 
 def _narrow_window(x_idx, crop_size, width, window):

@@ -637,6 +637,131 @@ def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
     )  # [H, W, CB]
 
 
+def _interp_matrix_strided(start, end, crop_size, extent, stride, offset,
+                           out_cols):
+    """`_interp_matrix` restricted to positions offset, offset+stride, ...
+
+    Column t of the result holds the lerp weight of feature column
+    ``offset + stride*t``; positions beyond ``extent-1`` get all-zero
+    columns automatically (idx is clamped to extent-2, so the pos==idx
+    and pos==idx+1 matches both fail). Used by the lane-merged backward
+    (`_bwd_kernel_catw`) to build the even/odd (mod-`stride`) slices of
+    Wx without a strided lane slice in the kernel.
+    """
+    h_max = extent - 1
+    i = jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 0).astype(
+        jnp.float32
+    )
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (crop_size, out_cols), 1)
+        * stride + offset
+    ).astype(jnp.float32)
+    if crop_size > 1:
+        coords = start * h_max + i * (end - start) * h_max / (crop_size - 1)
+    else:
+        coords = (start + end) * 0.5 * h_max + i * 0.0
+    inside = ((coords >= 0.0) & (coords <= h_max)).astype(jnp.float32)
+    idx = jnp.clip(jnp.floor(coords), 0, extent - 2)
+    frac = (coords - idx) * inside
+    return inside * (
+        (1.0 - frac) * (pos == idx).astype(jnp.float32)
+        + frac * (pos == idx + 1).astype(jnp.float32)
+    )
+
+
+def _bwd_kernel_catw(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
+                     mq_ref, hx_ref, dtmp_ref, dfacc_ref, *, crop_size,
+                     pool_kernel, pool_stride, group, window, merge):
+    """`_bwd_kernel_catf` with `merge` adjacent feature columns packed
+    onto the lane axis of the dtmp slab and the dF accumulator.
+
+    The catf concatenated dF matmul contracts the MIDDLE (sublane) dim of
+    dtmp [W, G*S, CB], which Mosaic lowers as W independent [G*S, CB] x
+    [G*S, H] matmuls — per-matmul issue overhead dominates (the op is far
+    from FLOP-bound). Packing columns w = merge*t + o into lane block o
+    of dtmp2 [ceil(W/m), G*S, m*CB] keeps the same contraction but with
+    m-fold fewer, m-fold wider matmuls. The x-interp dot splits into m
+    strided dots (same products, same f32 sums — bit-identical); the
+    accumulator lives in the packed layout and is unpacked to [H, W, CB]
+    once per grid column at the last proposal-program.
+    """
+    height, width, cb = feat_ref.shape[1:]
+    w2 = dtmp_ref.shape[0]
+    p_base = pl.program_id(2) * group
+    s = crop_size
+    ps = (s - pool_kernel) // pool_stride + 1
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfacc_ref[...] = jnp.zeros_like(dfacc_ref)
+
+    wy_rows = []
+    for gi in range(group):
+        p = p_base + gi
+        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+        ys = _coords(y1, y2, s, height)
+        xs = _coords(x1, x2, s, width)
+        x_idx = xs[0]
+
+        if window is None:
+            _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs, None,
+                            width, width, s)
+        else:
+            x0, narrow = _narrow_window(x_idx, s, width, window)
+
+            @pl.when(narrow)
+            def _():
+                _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs,
+                                x0, window, width, s)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs,
+                                None, width, width, s)
+
+        # Hierarchical first-tie routing (identical to _bwd_kernel_catf).
+        m = mq_ref[...]  # [ps(x), S(y rows), CB]
+        mp = m.reshape(ps, ps, pool_kernel, cb)
+        hy = (mp[:, :, 0, :] >= mp[:, :, 1, :]).astype(jnp.float32)
+        g = grad_ref[0, gi, :, :, :].astype(jnp.float32)  # [ps(y), ps(x), CB]
+        gt = jnp.transpose(g, (1, 0, 2))  # [ps(x), ps(y), CB]
+        dfull = jnp.stack([gt * hy, gt * (1.0 - hy)], axis=2).reshape(
+            ps, s, cb
+        )
+        hx = hx_ref[...]  # [ps(x), S, CB]
+        dct = jnp.stack([dfull * hx, dfull * (1.0 - hx)], axis=1).reshape(
+            s, s, cb
+        )  # [S_j, S_i, CB]
+
+        for o in range(merge):
+            wxo = _interp_matrix_strided(
+                x1, x2, s, width, merge, o, w2
+            )  # [S_j, W2]
+            dtmp_ref[:, gi * s:(gi + 1) * s, o * cb:(o + 1) * cb] = (
+                jax.lax.dot_general(
+                    wxo, dct,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtmp_ref.dtype)
+            )  # [W2, S, CB]
+        wy_rows.append(_interp_matrix(y1, y2, s, height))
+
+    wy_cat = jnp.concatenate(wy_rows, axis=0)  # [G*S, H]
+    dfacc_ref[...] += jax.lax.dot_general(
+        wy_cat, dtmp_ref[...],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, W2, m*CB]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        acc = dfacc_ref[...]
+        unpacked = acc.reshape(height, w2, merge, cb).reshape(
+            height, w2 * merge, cb
+        )
+        dfeat_ref[0] = unpacked[:, :width, :]
+
+
 def _bwd_kernel_catv(boxes_ref, feat_ref, grad_ref, dfeat_ref, crop_cat_ref,
                      tmp_ref, dtmp_ref, *, crop_size, pool_kernel,
                      pool_stride, group, window):
@@ -1259,6 +1384,32 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )
+    elif variant == "catw" and pool_kernel == 2 and pool_stride == 2 \
+            and crop_size % 2 == 0:
+        merge = int(os.environ.get("CAP2DET_ROI_BWD_MERGE", "2"))
+        pooled_rows = (crop_size - pool_kernel) // pool_stride + 1
+        w2 = pl.cdiv(width, merge)
+        kernel = functools.partial(
+            _bwd_kernel_catw,
+            crop_size=crop_size,
+            pool_kernel=pool_kernel,
+            pool_stride=pool_stride,
+            group=group,
+            window=_window_tier(width),
+            merge=merge,
+        )
+        scratch = [
+            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
+            pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
+            pltpu.VMEM((w2, group * crop_size, merge * cb), jnp.float32),
+            pltpu.VMEM((height, w2, merge * cb), jnp.float32),
+        ]
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )
     elif variant == "catf" and pool_kernel == 2 and pool_stride == 2 \
             and crop_size % 2 == 0:
         pooled_rows = (crop_size - pool_kernel) // pool_stride + 1
@@ -1281,7 +1432,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )
-    elif variant == "cat" or variant == "catf":
+    elif variant in ("cat", "catf", "catw"):  # catf/catw: non-2x2/s2 fallback
         kernel = functools.partial(
             _bwd_kernel_cat,
             crop_size=crop_size,

@@ -202,13 +202,13 @@ def test_estimate_flops_scales():
     assert abs(b["bwd"] / a["bwd"] - 2.0) < 0.02
 
 
-@pytest.mark.parametrize("variant", ["cat", "catv"])
+@pytest.mark.parametrize("variant", ["cat", "catv", "catf", "catw"])
 def test_cat_backward_matches_scatter(monkeypatch, variant):
-    """The round-4 concatenated-matmul dF accumulations (cat = default,
-    catv = group-vectorized routing, a recorded same-speed variant) must
-    be numerically equivalent to the sparse 2-row scatter form they
-    replaced (CAP2DET_ROI_BWD=scatter) — same routing, different
-    summation order."""
+    """The round-4 concatenated-matmul dF accumulations (catf = default
+    with hierarchical routing, catw = its lane-merged form, cat / catv =
+    recorded intermediate variants) must be numerically equivalent to
+    the sparse 2-row scatter form they replaced (CAP2DET_ROI_BWD=scatter)
+    — same first-tie routing, different summation order."""
     features, boxes = _random_case(7, num_p=11, h=20, w=24, c=16)
     g_target = np.random.RandomState(8).randn(2, 11, 3, 3, 16).astype(
         np.float32
@@ -223,3 +223,29 @@ def test_cat_backward_matches_scatter(monkeypatch, variant):
     monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
     g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))
     np.testing.assert_allclose(g_cat, g_scatter, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant,merge", [("catf", 2), ("catw", 2),
+                                           ("catw", 3), ("catw", 4)])
+def test_hier_backward_first_tie_on_quantized(monkeypatch, variant, merge):
+    """catf/catw fold FIRST-TIE max routing into the recompute
+    hierarchically (x winner then y winner). On tie-rich quantized
+    features (many exact equals inside 2x2 windows) their gradient must
+    match the flat taken-mask scan (scatter) exactly — including catw's
+    lane-merged accumulation at merge factors that do and do not divide
+    the feature width (w=24: merge 2/4 divide, 3 leaves a ragged tail)."""
+    rs = np.random.RandomState(3)
+    features = rs.randint(0, 3, size=(2, 20, 24, 16)).astype(np.float32)
+    _, boxes = _random_case(7, num_p=11, h=20, w=24, c=16)
+    g_target = rs.randn(2, 11, 3, 3, 16).astype(np.float32)
+
+    def loss(f):
+        out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
+        return jnp.sum(out * g_target)
+
+    monkeypatch.setenv("CAP2DET_ROI_BWD", variant)
+    monkeypatch.setenv("CAP2DET_ROI_BWD_MERGE", str(merge))
+    g_hier = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
+    g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    np.testing.assert_allclose(g_hier, g_scatter, rtol=1e-5, atol=1e-5)

@@ -17,20 +17,28 @@
 # tests/test_orchestration.py — is replaced here by post-hoc curve
 # reconstruction over keep_checkpoint_max history.
 #
-# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor]
+# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor] [caption_style]
 #   extractor: groundtruth (default) reads the class names the captions
 #   carry through object_texts; exact_match runs the caption-token path —
 #   labels extracted from the caption token ids alone (the paper's
-#   Cap2Det contract, reference models/label_extractor.py:124-150).
+#   Cap2Det contract, reference models/label_extractor.py:124-150);
+#   extend_match additionally matches a synonym table
+#   (reference models/label_extractor.py:153-207).
+#   caption_style: exact (default) writes class names into captions;
+#   synonyms replaces most class mentions with out-of-vocabulary
+#   synonyms — the regime where exact_match degrades and extend_match
+#   recovers (the paper's central comparison, README.md:210-216).
 set -euo pipefail
-WORK="${1:?usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor]}"
+WORK="${1:?usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor] [caption_style]}"
 NUM_IMAGES="${2:-240}"
 MAX_STEPS="${3:-1500}"
 NPROC="${4:-1}"
 EXTRACTOR="${5:-groundtruth}"
+CAPTION_STYLE="${6:-exact}"
 case "$EXTRACTOR" in
   groundtruth) EXTRACTOR_LINE="groundtruth_extractor { label_file: '__WORK__/labels.txt' }" ;;
   exact_match) EXTRACTOR_LINE="exact_match_extractor { label_file: '__WORK__/labels.txt' }" ;;
+  extend_match) EXTRACTOR_LINE="extend_match_extractor { label_file: '__WORK__/synonyms.txt' }" ;;
   *) echo "unknown extractor: $EXTRACTOR" >&2; exit 2 ;;
 esac
 EXTRACTOR_LINE="${EXTRACTOR_LINE/__WORK__/$WORK}"
@@ -52,8 +60,9 @@ for ((i=0; i<NPROC; i++)); do
 done
 for pid in "${pids[@]}"; do wait "$pid"; done
 
-# 3) records + labels
-python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK"
+# 3) records + labels (+ synonyms.txt for extend_match)
+python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK" \
+  --caption_style "$CAPTION_STYLE"
 
 # 3b) warm-start backbone: the passthrough stand-in for the ImageNet
 #     checkpoint (zero-egress sandbox), loaded through the real

@@ -43,6 +43,31 @@ COLORS = {
 }
 CLASSES = ["%s_%s" % (c, s) for c in COLORS for s in SHAPES]
 
+# Caption-side synonyms per class (never the class name itself) for
+# --caption_style=synonyms: the regime the paper's ExtendMatch extractor
+# exists for (reference models/label_extractor.py:153-207) — captions
+# that NAME the object with words outside the class vocabulary, so exact
+# token match misses the label while a synonym table recovers it.
+_COLOR_SYNONYMS = {
+    "red": ["crimson", "scarlet"],
+    "green": ["emerald", "lime"],
+    "blue": ["azure", "navy"],
+}
+_SHAPE_SYNONYMS = {
+    "rect": ["block", "slab"],
+    "ellipse": ["oval", "blob"],
+    "triangle": ["wedge", "pyramid"],
+}
+SYNONYMS = {
+    "%s_%s" % (c, s): [
+        "%s_%s" % (cs, ss)
+        for cs in _COLOR_SYNONYMS[c]
+        for ss in _SHAPE_SYNONYMS[s]
+    ]
+    for c in COLORS
+    for s in SHAPES
+}
+
 _FILLER = [
     "a", "photo", "of", "the", "scene", "with", "some", "and", "small",
     "large", "object", "objects", "next", "to", "background",
@@ -147,6 +172,31 @@ def phase_images(args):
     print("images: %d scenes in %s" % (args.num_images, img_dir))
 
 
+def make_captions(rng, present_classes, caption_style="exact",
+                  synonym_prob=0.8):
+    """1-2 captions naming every present class, mixed with filler words.
+
+    caption_style='synonyms' replaces each class mention with one of its
+    out-of-vocabulary SYNONYMS with probability synonym_prob — captions
+    exact_match cannot resolve but extend_match can.
+    """
+    captions = []
+    for _ in range(int(rng.integers(1, 3))):
+        cap = list(rng.choice(_FILLER, size=3))
+        # sorted(): set order depends on per-process string hashing, and
+        # the synonym draws consume rng state per class — keep the record
+        # stream reproducible across processes.
+        for cls in sorted(set(present_classes)):
+            word = cls
+            if caption_style == "synonyms" and rng.random() < synonym_prob:
+                syns = SYNONYMS[cls]
+                word = syns[int(rng.integers(len(syns)))]
+            cap.append(word)
+        rng.shuffle(cap)
+        captions.append(cap)
+    return captions
+
+
 def phase_records(args):
     img_dir = os.path.join(args.out, "images")
     ss_dir = args.ss_dir or os.path.join(args.out, "ss_npy")
@@ -160,6 +210,13 @@ def phase_records(args):
     label_file = synthetic.write_label_file(
         os.path.join(args.out, "labels.txt"), CLASSES
     )
+    # Synonym table in the load_synonym_table format
+    # (class<TAB>syn1,syn2,...), written for every style so an
+    # extend_match config can always point at it.
+    syn_path = os.path.join(args.out, "synonyms.txt")
+    with open(syn_path, "w") as fid:
+        for cls in CLASSES:
+            fid.write("%s\t%s\n" % (cls, ",".join(SYNONYMS[cls])))
     for split, rows in splits.items():
         path = os.path.join(args.out, "%s.record" % split)
         n_props_total = 0
@@ -171,13 +228,10 @@ def phase_records(args):
                     encoded = fid.read()
                 props = np.load(os.path.join(ss_dir, image_id + ".npy"))
                 n_props_total += len(props)
-                captions = []
-                for _ in range(int(rng.integers(1, 3))):
-                    cap = list(rng.choice(_FILLER, size=3))
-                    for cls in set(row["classes"]):
-                        cap.append(cls)
-                    rng.shuffle(cap)
-                    captions.append(cap)
+                captions = make_captions(
+                    rng, row["classes"], args.caption_style,
+                    args.synonym_prob,
+                )
                 writer.write(record_builder.build_example(
                     image_id,
                     image_encoded=encoded,
@@ -206,6 +260,14 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ss_dir", default=None)
     parser.add_argument("--eval_fraction", type=float, default=0.15)
+    parser.add_argument(
+        "--caption_style", choices=["exact", "synonyms"], default="exact",
+        help="'exact': captions contain the class names (exact-match "
+        "extractable). 'synonyms': each class mention is replaced by an "
+        "out-of-vocabulary synonym with probability --synonym_prob — the "
+        "ExtendMatch regime.",
+    )
+    parser.add_argument("--synonym_prob", type=float, default=0.8)
     args = parser.parse_args()
     if args.phase == "images":
         phase_images(args)

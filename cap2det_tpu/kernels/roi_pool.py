@@ -186,7 +186,12 @@ def _crop_pool_pass(feat_ref, tmp_ref, pool_ref, ys, xs, x0, win, width,
         tmp_ref[0:win, i, :] = (
             rows[0] * ((1.0 - y_frac[i]) * w) + rows[1] * (y_frac[i] * w)
         ).astype(tmp_ref.dtype)
-    adj = os.environ.get("CAP2DET_ROI_ADJ", "0") == "1"
+    # "1": adjacent-pair 3-row reads everywhere (item 29: wins wide-box
+    # P2000, loses narrow); "full": only in the full-width fallback
+    # branch — wide boxes take that branch, so this targets exactly the
+    # regime where the fold pays. `full` is static at trace time.
+    adj_env = os.environ.get("CAP2DET_ROI_ADJ", "0")
+    adj = adj_env == "1" or (adj_env == "full" and full)
     for q in range(crop_size // 2):
         j0, j1 = 2 * q, 2 * q + 1
         s0 = x_idx[j0] if full else x_idx[j0] - x0

@@ -52,6 +52,30 @@ def test_forward_alt_impls_match_xla(impl):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("adj", ["1", "full"])
+def test_forward_adjacent_pair_reads_match_xla(monkeypatch, adj):
+    """CAP2DET_ROI_ADJ folds the pooled pair's two 2-row reads into one
+    3-row read where the windows overlap ('1': everywhere, 'full': only
+    the full-width fallback branch — BENCH_NOTES r4 item 29). Must stay
+    bit-compatible with the reference, including wide boxes (which take
+    the full-width branch) and right-edge taps (the dynamic_slice clamp
+    guard)."""
+    features, boxes = _random_case(2, num_p=8, h=16, w=48, c=8)
+    wide = np.array(
+        [[[0.0, 0.0, 1.0, 1.0], [0.1, 0.05, 0.9, 0.98],
+          [0.2, 0.5, 0.8, 1.1], [0.0, 0.9, 1.0, 1.0]]], np.float32
+    )
+    boxes = np.concatenate([boxes[:, :4], np.tile(wide, (2, 1, 1))], axis=1)
+    monkeypatch.setenv("CAP2DET_ROI_ADJ", adj)
+    ours = np.asarray(
+        roi_pool.roi_crop_maxpool(features, boxes, 6, 2, 2, interpret=True)
+    )
+    ref = np.asarray(
+        roi_ops.crop_resize_maxpool(features, boxes, 6, 2, 2)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_forward_outside_boxes_zero():
     features, _ = _random_case(1)
     boxes = np.tile(

@@ -39,9 +39,10 @@ case "$EXTRACTOR" in
   groundtruth) EXTRACTOR_LINE="groundtruth_extractor { label_file: '__WORK__/labels.txt' }" ;;
   exact_match) EXTRACTOR_LINE="exact_match_extractor { label_file: '__WORK__/labels.txt' }" ;;
   extend_match) EXTRACTOR_LINE="extend_match_extractor { label_file: '__WORK__/synonyms.txt' }" ;;
+  word_vector) EXTRACTOR_LINE="word_vector_match_extractor { label_file: '__WORK__/labels.txt' open_vocabulary_file: '__WORK__/open_vocab.txt' open_vocabulary_word_embedding_file: '__WORK__/embeddings.npy' }" ;;
   *) echo "unknown extractor: $EXTRACTOR" >&2; exit 2 ;;
 esac
-EXTRACTOR_LINE="${EXTRACTOR_LINE/__WORK__/$WORK}"
+EXTRACTOR_LINE="${EXTRACTOR_LINE//__WORK__/$WORK}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p "$WORK"
@@ -75,7 +76,11 @@ python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK" \
 
 # 4) pipeline config (voc07-style shapes; groundtruth extractor reads
 #    the class names the captions carry, the exact-match contract)
-cat > "$WORK/pipeline.pbtxt" <<EOF
+# Per-(extractor, caption_style) pipeline + model dir so repeated
+# invocations share one dataset (images/SS/records are reused or
+# rewritten identically) while training runs stay isolated.
+TAG="$EXTRACTOR-$CAPTION_STYLE"
+cat > "$WORK/pipeline-$TAG.pbtxt" <<EOF
 train_reader {
   cap2det_reader {
     input_pattern: "$WORK/train.record"
@@ -143,20 +148,20 @@ train_config {
 eval_config { steps: 36 }
 EOF
 
-MODEL_DIR="$WORK/model"
+MODEL_DIR="$WORK/model-$TAG"
 mkdir -p "$MODEL_DIR"
 
 # 5) train on the chip (exclusive holder)
 python -m cap2det_tpu.cli.train_main \
-  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  --pipeline_proto "$WORK/pipeline-$TAG.pbtxt" --model_dir "$MODEL_DIR" \
   --pretrained_checkpoint "$WORK/passthrough_ckpt" \
-  > "$WORK/train.log" 2>&1
+  > "$WORK/train-$TAG.log" 2>&1
 
 # 6) walk every retained checkpoint -> mAP-vs-step curve
 python -m cap2det_tpu.cli.evaluate_main \
-  --pipeline_proto "$WORK/pipeline.pbtxt" --model_dir "$MODEL_DIR" \
+  --pipeline_proto "$WORK/pipeline-$TAG.pbtxt" --model_dir "$MODEL_DIR" \
   --max_eval_examples 36 --all_checkpoints --max_idle_polls 1 \
   --poll_interval 1 \
-  > "$WORK/eval.log" 2>&1
+  > "$WORK/eval-$TAG.log" 2>&1
 
 echo "quality run done; curves: $MODEL_DIR/eval_metrics.jsonl"

@@ -86,6 +86,39 @@ def test_extend_match_recovers_synonym_captions(tmp_path):
     assert _label_recall(exact, exact_caps, gt_sets) == 1.0
 
 
+def test_word_vector_match_resolves_synonyms(tmp_path):
+    """The synthetic GloVe stand-in places each synonym near its class
+    vector, so the word_vector_match top-1 cosine fallback (reference
+    models/label_extractor.py:210-328) must resolve every
+    single-object synonym caption to the right class — and must NOT
+    fire on images whose captions exact-match (fallback is
+    exact-match-first)."""
+    label_file, _ = _write_tables(tmp_path)
+    vocab_path, emb_path = gen.write_embeddings(str(tmp_path), seed=7)
+    wv = extractors.WordVectorMatchExtractor(
+        schema.WordVectorMatchExtractor(
+            label_file=label_file,
+            open_vocabulary_file=vocab_path,
+            open_vocabulary_word_embedding_file=emb_path,
+        )
+    )
+    rng = np.random.default_rng(1)
+    for cls in gen.CLASSES:
+        caps = gen.make_captions(rng, [cls], "synonyms", synonym_prob=1.0)
+        tokens = [t for cap in caps for t in cap]
+        labels = wv.extract_labels([tokens])[0]
+        assert labels.sum() == 1.0
+        assert labels[wv.classes.index(cls)] == 1.0
+
+    # Multi-object synonym captions: the fallback adds exactly ONE
+    # class (reference argmax semantics), and it is a present one.
+    gt = ["red_rect", "blue_triangle"]
+    caps = gen.make_captions(rng, gt, "synonyms", synonym_prob=1.0)
+    labels = wv.extract_labels([[t for cap in caps for t in cap]])[0]
+    assert labels.sum() == 1.0
+    assert any(labels[wv.classes.index(c)] == 1.0 for c in gt)
+
+
 def test_synonyms_are_out_of_vocabulary():
     """No synonym collides with a class name — otherwise the 'synonyms'
     style would not actually remove exact-match evidence."""

@@ -172,6 +172,48 @@ def phase_images(args):
     print("images: %d scenes in %s" % (args.num_images, img_dir))
 
 
+def write_embeddings(out_dir, seed=0, dims=50, synonym_noise=0.25):
+    """Synthetic GloVe stand-in for the word_vector_match /
+    text_classifier_match extractors (zero-egress sandbox: the real
+    GloVe tars cannot ship). Open vocabulary = classes + synonyms +
+    filler; each class gets a random unit vector, each synonym its
+    class's vector plus small noise (cosine ~0.97 to its class,
+    near-orthogonal to the rest at 50 dims), fillers independent random
+    vectors — so top-1 cosine matching (reference
+    models/label_extractor.py:210-328) resolves synonyms to their class
+    the way real GloVe neighborhoods do. Writes open_vocab.txt +
+    embeddings.npy (the load_embeddings format)."""
+    rng = np.random.default_rng(seed)
+    words, vecs = [], []
+
+    def _unit(v):
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    class_vecs = {}
+    for cls in CLASSES:
+        v = _unit(rng.normal(size=dims))
+        class_vecs[cls] = v
+        words.append(cls)
+        vecs.append(v)
+    for cls in CLASSES:
+        for syn in SYNONYMS[cls]:
+            words.append(syn)
+            vecs.append(
+                _unit(class_vecs[cls] + synonym_noise * rng.normal(size=dims))
+            )
+    for filler in _FILLER:
+        words.append(filler)
+        vecs.append(_unit(rng.normal(size=dims)))
+
+    vocab_path = os.path.join(out_dir, "open_vocab.txt")
+    with open(vocab_path, "w") as fid:
+        fid.write("".join(w + "\n" for w in words))
+    emb_path = os.path.join(out_dir, "embeddings.npy")
+    with open(emb_path, "wb") as fid:
+        np.save(fid, np.asarray(vecs, np.float32))
+    return vocab_path, emb_path
+
+
 def make_captions(rng, present_classes, caption_style="exact",
                   synonym_prob=0.8):
     """1-2 captions naming every present class, mixed with filler words.
@@ -217,6 +259,7 @@ def phase_records(args):
     with open(syn_path, "w") as fid:
         for cls in CLASSES:
             fid.write("%s\t%s\n" % (cls, ",".join(SYNONYMS[cls])))
+    write_embeddings(args.out, seed=args.seed + 2)
     for split, rows in splits.items():
         path = os.path.join(args.out, "%s.record" % split)
         n_props_total = 0

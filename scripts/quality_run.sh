@@ -40,6 +40,12 @@ case "$EXTRACTOR" in
   exact_match) EXTRACTOR_LINE="exact_match_extractor { label_file: '__WORK__/labels.txt' }" ;;
   extend_match) EXTRACTOR_LINE="extend_match_extractor { label_file: '__WORK__/synonyms.txt' }" ;;
   word_vector) EXTRACTOR_LINE="word_vector_match_extractor { label_file: '__WORK__/labels.txt' open_vocabulary_file: '__WORK__/open_vocab.txt' open_vocabulary_word_embedding_file: '__WORK__/embeddings.npy' }" ;;
+  # Requires a trained text classifier at $WORK/text_model first:
+  #   python -m cap2det_tpu.cli.train_main \
+  #     --pipeline_proto <text pipeline over $WORK/train.record> \
+  #     --model_dir $WORK/text_model
+  # (hidden_units/label_threshold here must match that training config).
+  text_classifier) EXTRACTOR_LINE="text_classifier_match_extractor { label_file: '__WORK__/labels.txt' open_vocabulary_file: '__WORK__/open_vocab.txt' open_vocabulary_word_embedding_file: '__WORK__/embeddings.npy' text_classifier_checkpoint_file: '__WORK__/text_model' hidden_units: 100 label_threshold: 0.5 }" ;;
   *) echo "unknown extractor: $EXTRACTOR" >&2; exit 2 ;;
 esac
 EXTRACTOR_LINE="${EXTRACTOR_LINE//__WORK__/$WORK}"

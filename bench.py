@@ -149,8 +149,12 @@ def run_e2e(args):
     object.__setattr__(m.frcnn_options, "initial_crop_size", 14)
     object.__setattr__(cfg.train_config, "log_step_count_steps", 10 ** 9)
 
-    # Host-only rate: drive the pipeline alone (same config/seed).
-    pipe = pipeline_lib.build_input_pipeline(cfg.train_reader, seed=1)
+    # Host-only rate: drive the pipeline alone (same config/seed), in the
+    # production training-feed layout (packed uint8, pack_s2d — what the
+    # trainer actually consumes via Cap2DetModel.pipeline_kwargs).
+    pipe = pipeline_lib.build_input_pipeline(
+        cfg.train_reader, seed=1, pack_s2d=True
+    )
     it = iter(pipe)
     for _ in range(2):  # warm the decode caches/threads
         next(it)

@@ -93,21 +93,35 @@ class MultiScalePredictor:
             )
             fy, fx = new_h / ch, new_w / cw
             scale_vec = np.array([fy, fx, fy, fx], np.float32)
-            pixels = canvas[None].astype(np.float16)
-            if canvas.shape[0] % 2 == 0 and canvas.shape[1] % 2 == 0:
+            if (canvas.dtype == np.uint8 and canvas.shape[0] % 2 == 0
+                    and canvas.shape[1] % 2 == 0):
                 # Host-side space-to-depth, matching the training feed
-                # (cap2det.device_batch): same bytes, and the stem runs
-                # the faster regrouped stride-1 conv. Canvas sides are
-                # multiples of 32, so this always applies.
-                from cap2det_tpu.models import inception_v2
+                # (cap2det.device_batch): uint8 pixels are exact (the
+                # forward casts up) at half the f16 wire bytes, and the
+                # stem runs the faster regrouped stride-1 conv. Canvas
+                # sides are multiples of 32, so this always applies.
+                from cap2det_tpu import native as native_lib
 
-                pixels = np.ascontiguousarray(
-                    inception_v2.space_to_depth(pixels)
-                )
+                if native_lib.available():
+                    pixels = native_lib.pack_s2d(canvas, canvas.shape[:2])[None]
+                else:
+                    from cap2det_tpu.models import inception_v2
+
+                    pixels = np.ascontiguousarray(
+                        inception_v2.space_to_depth(canvas[None])
+                    )
+            else:
+                pixels = canvas[None].astype(np.float16)
+                if canvas.shape[0] % 2 == 0 and canvas.shape[1] % 2 == 0:
+                    from cap2det_tpu.models import inception_v2
+
+                    pixels = np.ascontiguousarray(
+                        inception_v2.space_to_depth(pixels)
+                    )
             batch = {
-                # f16 pixels: halves the per-scale host->device transfer
-                # (the eval daemon's dominant cost on thin links); exact
-                # for 0-255 + bilinear fractions at bf16-conv precision.
+                # uint8 (or f16) pixels: minimizes the per-scale
+                # host->device transfer (the eval daemon's dominant cost
+                # on thin links); exact at bf16-conv precision.
                 "image": pixels,
                 "proposals": (props_true * scale_vec)[None],
                 "num_proposals": np.array([n_props], np.int32),

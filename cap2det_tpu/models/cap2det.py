@@ -62,7 +62,10 @@ class Cap2DetModel:
         return self.label_extractor.num_classes
 
     def pipeline_kwargs(self):
-        return {"label_extractor": self.label_extractor}
+        # pack_s2d: the pipeline's parallel workers emit the packed uint8
+        # training-feed layout directly (pack_image_to_canvas), so
+        # device_batch is a passthrough on the feed thread.
+        return {"label_extractor": self.label_extractor, "pack_s2d": True}
 
     # -- params ----------------------------------------------------------------
 
@@ -96,23 +99,40 @@ class Cap2DetModel:
     def device_batch(self, host_batch):
         from cap2det_tpu.models import inception_v2
 
-        image = np.asarray(host_batch[InputFields.image], np.float16)
-        if image.shape[-1] == 3 and image.shape[1] % 2 == 0 \
-                and image.shape[2] % 2 == 0:
-            # Host-side space-to-depth: ship [B, H/2, W/2, 12] canvases.
-            # Same bytes on the wire, but the stem's stride-2 conv runs
-            # as the 2.2x-faster regrouped stride-1 conv with NO on-device
-            # repacking transpose (inception_v2._s2d_pack_weights; the
-            # device-side packing variant measured a net loss,
-            # BENCH_NOTES.md round 3). One extra host copy, done in the
-            # feed thread (production hosts fold it into the pipeline's
-            # parallel workers).
-            image = np.ascontiguousarray(inception_v2.space_to_depth(image))
+        image = np.asarray(host_batch[InputFields.image])
+        packable = (
+            image.shape[-1] == 3
+            and image.shape[1] % 2 == 0
+            and image.shape[2] % 2 == 0
+        )
+        if image.dtype == np.uint8:
+            # uint8 canvases (the pipeline's native layout since r5) ship
+            # as-is: exact — the forward casts up on device — at HALF the
+            # f16 wire bytes and with zero host float math (the f32->f16
+            # canvas cast alone cost ~19 ms/image). When the pipeline
+            # already packed (pack_s2d, trailing dim 12) this is a pure
+            # passthrough; an unpacked uint8 canvas is packed here.
+            if packable:
+                image = self._pack_u8(image)
+        else:
+            image = image.astype(np.float16)
+            if packable:
+                # Host-side space-to-depth: ship [B, H/2, W/2, 12]
+                # canvases. Same bytes on the wire, but the stem's
+                # stride-2 conv runs as the 2.2x-faster regrouped
+                # stride-1 conv with NO on-device repacking transpose
+                # (inception_v2._s2d_pack_weights; the device-side
+                # packing variant measured a net loss, BENCH_NOTES.md
+                # round 3).
+                image = np.ascontiguousarray(
+                    inception_v2.space_to_depth(image)
+                )
         return {
-            # Pixels ship as float16: exact for 0-255 integers and well
-            # beyond the bf16 precision the convs run at, and it halves
-            # the host->device transfer — which dominates the e2e loop on
-            # thin links (BENCH_NOTES.md round 3). The forward casts up.
+            # Pixels ship as uint8 (or float16 for float feeds): exact
+            # for 0-255 integers and well beyond the bf16 precision the
+            # convs run at; minimizes the host->device transfer — which
+            # dominates the e2e loop on thin links (BENCH_NOTES.md
+            # round 3). The forward casts up.
             "image": image,
             "proposals": np.asarray(host_batch[InputFields.proposals]),
             "num_proposals": np.asarray(host_batch[InputFields.num_proposals]),
@@ -120,6 +140,24 @@ class Cap2DetModel:
                 host_batch[InputFields.pseudo_labels], np.float32
             ),
         }
+
+    @staticmethod
+    def _pack_u8(image):
+        """[B, H, W, 3] uint8 -> [B, H/2, W/2, 12] space-to-depth packed,
+        native kernel per element with a numpy fallback."""
+        try:
+            from cap2det_tpu import native
+
+            if native.available():
+                h, w = image.shape[1:3]
+                return np.stack(
+                    [native.pack_s2d(im, (h, w)) for im in image]
+                )
+        except Exception:  # pragma: no cover - fall back quietly
+            pass
+        from cap2det_tpu.models import inception_v2
+
+        return np.ascontiguousarray(inception_v2.space_to_depth(image))
 
     # -- forward ----------------------------------------------------------------
 

@@ -88,6 +88,15 @@ def load():
         lib.tfr_close.argtypes = [ctypes.c_void_p]
         lib.tfr_crc32c.restype = ctypes.c_uint
         lib.tfr_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        lib.cap2det_pack_s2d_u8.restype = ctypes.c_int
+        lib.cap2det_pack_s2d_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
 
         _lib = lib
         return _lib
@@ -139,6 +148,40 @@ def felzenszwalb(image, k=100.0, min_size=20):
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return labels
+
+
+def pack_s2d(image, canvas_hw):
+    """Packs a resized uint8 RGB image onto a zero-padded space-to-depth
+    canvas in one native pass (native/image_pack.cc).
+
+    Args:
+      image: [nh, nw, 3] uint8, the keep-aspect-resized image.
+      canvas_hw: (canvas_h, canvas_w) of the UNPACKED canvas; both even.
+
+    Returns [canvas_h//2, canvas_w//2, 12] uint8, bit-identical to
+    ``inception_v2.space_to_depth`` applied to the zero-padded
+    [canvas_h, canvas_w, 3] canvas.
+    """
+    lib = load()
+    ch, cw = canvas_hw
+    if ch % 2 or cw % 2:
+        raise ValueError("canvas dims must be even, got %r" % (canvas_hw,))
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    nh, nw = image.shape[:2]
+    out = np.empty((ch // 2, cw // 2, 12), np.uint8)
+    rc = lib.cap2det_pack_s2d_u8(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nh,
+        nw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ch // 2,
+        cw // 2,
+    )
+    if rc != 0:
+        raise ValueError(
+            "pack_s2d: image %r does not fit canvas %r" % ((nh, nw), canvas_hw)
+        )
+    return out
 
 
 def read_records_native(path, verify_crc=False, readahead=True):

@@ -88,3 +88,32 @@ class TestNativeTFRecordReader:
         open(path, "wb").write(bytes(raw))
         with pytest.raises(IOError):
             list(native.read_records_native(path, verify_crc=True))
+
+
+class TestPackS2d:
+    def test_matches_numpy_s2d_including_odd_edges(self):
+        from cap2det_tpu.data.pipeline import _numpy_s2d
+
+        rng = np.random.RandomState(3)
+        for nh, nw, ch, cw in [
+            (64, 96, 64, 96),     # exact fit
+            (41, 63, 64, 96),     # odd both
+            (40, 63, 64, 96),     # odd width
+            (41, 64, 64, 96),     # odd height
+            (1, 1, 32, 32),       # degenerate
+            (100, 148, 128, 160), # typical canvas fraction
+        ]:
+            img = rng.randint(0, 256, (nh, nw, 3), np.uint8)
+            got = native.pack_s2d(img, (ch, cw))
+            full = np.zeros((ch, cw, 3), np.uint8)
+            full[:nh, :nw] = img
+            np.testing.assert_array_equal(
+                got, _numpy_s2d(full), err_msg=str((nh, nw, ch, cw))
+            )
+
+    def test_rejects_oversized_image_and_odd_canvas(self):
+        img = np.zeros((10, 10, 3), np.uint8)
+        with pytest.raises(ValueError):
+            native.pack_s2d(img, (8, 16))
+        with pytest.raises(ValueError):
+            native.pack_s2d(img, (15, 16))

@@ -215,3 +215,87 @@ def test_photometric_requires_opt_in(dataset):
     pipe = pipeline.InputPipeline(cfg, seed=3, prefetch=0)
     batch = next(iter(pipe))
     assert batch[InputFields.image].shape[0] == 2
+
+
+def test_packed_pipeline_matches_unpacked_s2d(dataset):
+    """pack_s2d=True must emit exactly space_to_depth(unpacked batch):
+    same examples, same randomness, same uint8 pixels — only the layout
+    (and the fused native pack) differs."""
+    record, _ = dataset
+    cfg = _reader(record)
+    unpacked = pipeline.InputPipeline(cfg, seed=5, pack_s2d=False)
+    packed = pipeline.InputPipeline(cfg, seed=5, pack_s2d=True)
+    for b_u, b_p, _ in zip(iter(unpacked), iter(packed), range(4)):
+        img_u = b_u[InputFields.image]
+        img_p = b_p[InputFields.image]
+        assert img_u.dtype == np.uint8 and img_p.dtype == np.uint8
+        assert img_p.shape == (
+            img_u.shape[0], img_u.shape[1] // 2, img_u.shape[2] // 2, 12
+        )
+        want = np.stack([pipeline._numpy_s2d(im) for im in img_u])
+        np.testing.assert_array_equal(img_p, want)
+        # Non-image fields identical.
+        np.testing.assert_array_equal(
+            b_u[InputFields.proposals], b_p[InputFields.proposals]
+        )
+        assert list(b_u[InputFields.image_id]) == list(b_p[InputFields.image_id])
+
+
+def test_device_batch_passthrough_and_pack(dataset):
+    """cap2det.device_batch ships packed uint8 unchanged, and packs an
+    unpacked uint8 canvas to the identical layout."""
+    from cap2det_tpu.data import synthetic as synthetic_lib
+    from cap2det_tpu.models import registry
+    import cap2det_tpu.models  # noqa: F401
+    import jax.numpy as jnp
+
+    record, label_file = dataset
+    model_text = """
+    model {
+      [Cap2DetModel.ext] {
+        frcnn_options {
+          feature_extractor { type: 'faster_rcnn_inception_v2' }
+          initial_crop_size: 6 maxpool_kernel_size: 2 maxpool_stride: 2
+          dropout_keep_prob: 1.0 dropout_on_feature_map: false
+        }
+        fc_hyperparams {
+          op: FC
+          regularizer { l2_regularizer { weight: 0.0 } }
+          initializer { truncated_normal_initializer { stddev: 0.01 } }
+        }
+        oicr_iterations: 1
+        midn_post_processor {
+          score_thresh: 0.001 iou_thresh: 0.4
+          max_size_per_class: 4 max_total_size: 8
+        }
+        oicr_post_processor {
+          score_thresh: 0.001 iou_thresh: 0.4
+          max_size_per_class: 4 max_total_size: 8
+        }
+        label_extractor { groundtruth_extractor { label_file: '%s' } }
+      }
+    }
+    """ % label_file
+    model = registry.build(
+        schema.Model.from_dict(pbtxt.parse(model_text)["model"]),
+        is_training=True, compute_dtype=jnp.float32,
+    )
+    rs = np.random.RandomState(0)
+    unpacked = rs.randint(0, 256, (2, 64, 96, 3), np.uint8)
+    base = {
+        InputFields.image: unpacked,
+        InputFields.proposals: np.zeros((2, 4, 4), np.float32),
+        InputFields.num_proposals: np.full((2,), 4, np.int32),
+        InputFields.pseudo_labels: np.zeros((2, 3), np.float32),
+    }
+    packed_batch = model.device_batch(base)
+    assert packed_batch["image"].dtype == np.uint8
+    assert packed_batch["image"].shape == (2, 32, 48, 12)
+    want = np.stack([pipeline._numpy_s2d(im) for im in unpacked])
+    np.testing.assert_array_equal(packed_batch["image"], want)
+
+    # Already packed: byte-identical passthrough.
+    pre_packed = dict(base)
+    pre_packed[InputFields.image] = want
+    out = model.device_batch(pre_packed)
+    np.testing.assert_array_equal(out["image"], want)

@@ -229,6 +229,12 @@ def main():
              "regime of the reference's best published mAP).",
     )
     parser.add_argument("--measure_steps", type=int, default=None)
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="Override the shape's batch size (batch-scaling sweeps; "
+             "per-image semantics are unchanged — losses are batch "
+             "means).",
+    )
     args = parser.parse_args()
 
     if args.e2e:
@@ -236,7 +242,7 @@ def main():
         return
 
     shape = SHAPES[args.shape]
-    batch_size = shape["batch"]
+    batch_size = args.batch or shape["batch"]
     canvas_hw = shape["canvas_hw"]
     num_proposals = shape["num_proposals"]
     num_classes = shape["num_classes"]
@@ -397,6 +403,7 @@ def main():
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "shape": args.shape,
+        "batch": batch_size,
         "step_ms": round(per_step * 1e3, 2),
     }
     if step_flops:

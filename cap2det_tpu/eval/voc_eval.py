@@ -22,8 +22,14 @@ import numpy as np
 
 
 def compute_average_precision(precision, recall):
-    """All-point interpolated AP (od utils/metrics.py semantics)."""
-    if precision is None or len(precision) == 0:
+    """All-point interpolated AP (od utils/metrics.py semantics).
+
+    Empty precision/recall (a class WITH ground truth but zero
+    detections) is AP = 0, not NaN: recall is 0 everywhere, and NaN
+    would silently drop the class from mAP, inflating it. (Found by the
+    brute-force oracle in tests/test_eval_oracle.py.)
+    """
+    if precision is None:
         return float("nan")
     recall = np.concatenate([[0.0], recall, [1.0]])
     precision = np.concatenate([[0.0], precision, [0.0]])

@@ -17,7 +17,9 @@
 # tests/test_orchestration.py — is replaced here by post-hoc curve
 # reconstruction over keep_checkpoint_max history.
 #
-# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor] [caption_style]
+# Usage: quality_run.sh <workdir> [num_images] [max_steps] [nproc] [extractor] [caption_style] [class_set]
+#   class_set: 9 (default) or 80 — the coco17-regime class count
+#   (OICR heads [P,81], 80-column NMS, 80-row extend table).
 #   extractor: groundtruth (default) reads the class names the captions
 #   carry through object_texts; exact_match runs the caption-token path —
 #   labels extracted from the caption token ids alone (the paper's
@@ -35,6 +37,8 @@ MAX_STEPS="${3:-1500}"
 NPROC="${4:-1}"
 EXTRACTOR="${5:-groundtruth}"
 CAPTION_STYLE="${6:-exact}"
+CLASS_SET="${7:-9}"
+EVAL_N=$(( NUM_IMAGES * 15 / 100 ))
 case "$EXTRACTOR" in
   groundtruth) EXTRACTOR_LINE="groundtruth_extractor { label_file: '__WORK__/labels.txt' }" ;;
   exact_match) EXTRACTOR_LINE="exact_match_extractor { label_file: '__WORK__/labels.txt' }" ;;
@@ -55,7 +59,7 @@ mkdir -p "$WORK"
 
 # 1) scenes
 python tools/make_rich_synthetic_dataset.py --phase images \
-  --out "$WORK" --num_images "$NUM_IMAGES"
+  --out "$WORK" --num_images "$NUM_IMAGES" --class_set "$CLASS_SET"
 
 # 2) real C++ selective-search proposals (restartable workers)
 pids=()
@@ -69,7 +73,7 @@ for pid in "${pids[@]}"; do wait "$pid"; done
 
 # 3) records + labels (+ synonyms.txt for extend_match)
 python tools/make_rich_synthetic_dataset.py --phase records --out "$WORK" \
-  --caption_style "$CAPTION_STYLE"
+  --caption_style "$CAPTION_STYLE" --class_set "$CLASS_SET"
 
 # 3b) warm-start backbone: the passthrough stand-in for the ImageNet
 #     checkpoint (zero-egress sandbox), loaded through the real
@@ -151,7 +155,7 @@ train_config {
   keep_checkpoint_max: 50
   log_step_count_steps: 25
 }
-eval_config { steps: 36 }
+eval_config { steps: $EVAL_N }
 EOF
 
 MODEL_DIR="$WORK/model-$TAG"
@@ -166,7 +170,7 @@ python -m cap2det_tpu.cli.train_main \
 # 6) walk every retained checkpoint -> mAP-vs-step curve
 python -m cap2det_tpu.cli.evaluate_main \
   --pipeline_proto "$WORK/pipeline-$TAG.pbtxt" --model_dir "$MODEL_DIR" \
-  --max_eval_examples 36 --all_checkpoints --max_idle_polls 1 \
+  --max_eval_examples "$EVAL_N" --all_checkpoints --max_idle_polls 1 \
   --poll_interval 1 \
   > "$WORK/eval-$TAG.log" 2>&1
 

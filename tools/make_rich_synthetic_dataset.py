@@ -43,6 +43,59 @@ COLORS = {
 }
 CLASSES = ["%s_%s" % (c, s) for c in COLORS for s in SHAPES]
 
+# --class_set 80: the coco17 regime — C = 80 classes from color x shape
+# x texture combos (5 x 4 x 4), exercising the coco17_* config shapes
+# (OICR heads [P, 81], NMS over 80 columns, 80-row extend table).
+_COLORS_80 = dict(COLORS, yellow=(210, 190, 40), purple=(140, 60, 190))
+_SHAPES_80 = SHAPES + ("diamond",)
+_TEXTURES_80 = ("solid", "striped", "dotted", "checker")
+_COLOR_SYNONYMS_80 = {
+    "red": ["crimson", "scarlet"],
+    "green": ["emerald", "lime"],
+    "blue": ["azure", "navy"],
+    "yellow": ["golden", "amber"],
+    "purple": ["violet", "mauve"],
+}
+_SHAPE_SYNONYMS_80 = {
+    "rect": ["block", "slab"],
+    "ellipse": ["oval", "blob"],
+    "triangle": ["wedge", "pyramid"],
+    "diamond": ["rhombus", "kite"],
+}
+_TEXTURE_SYNONYMS_80 = {
+    "solid": ["plain", "flat"],
+    "striped": ["banded", "lined"],
+    "dotted": ["spotted", "speckled"],
+    "checker": ["checked", "gridded"],
+}
+
+
+def configure_classes(class_set):
+    """Swaps the module class vocabulary: 9 (default, color x shape) or
+    80 (color x shape x texture, the coco17-regime class count). Both
+    phases of a dataset must run with the SAME --class_set."""
+    global CLASSES, SYNONYMS, COLORS, SHAPES, TEXTURES
+    if class_set == 9:
+        return
+    if class_set != 80:
+        raise ValueError("class_set must be 9 or 80")
+    COLORS = _COLORS_80
+    SHAPES = _SHAPES_80
+    TEXTURES = _TEXTURES_80
+    CLASSES = [
+        "%s_%s_%s" % (c, s, t)
+        for c in COLORS for s in SHAPES for t in TEXTURES
+    ]
+    SYNONYMS = {
+        "%s_%s_%s" % (c, s, t): [
+            "%s_%s_%s" % (cs, ss, ts)
+            for cs in _COLOR_SYNONYMS_80[c]
+            for ss in _SHAPE_SYNONYMS_80[s]
+            for ts in _TEXTURE_SYNONYMS_80[t]
+        ]
+        for c in COLORS for s in SHAPES for t in TEXTURES
+    }
+
 # Caption-side synonyms per class (never the class name itself) for
 # --caption_style=synonyms: the regime the paper's ExtendMatch extractor
 # exists for (reference models/label_extractor.py:153-207) — captions
@@ -93,7 +146,9 @@ def _smooth_noise(rng, h, w, octaves=3):
 
 
 def _draw_object(image, rng, cls_name, box_px):
-    color, shape = cls_name.split("_")
+    parts = cls_name.split("_")
+    color, shape = parts[0], parts[1]
+    texture = parts[2] if len(parts) > 2 else "solid"
     base = np.array(COLORS[color], np.float32)
     base = np.clip(base + rng.uniform(-30, 30, 3), 0, 255)
     y0, x0, y1, x1 = box_px
@@ -105,11 +160,23 @@ def _draw_object(image, rng, cls_name, box_px):
     elif shape == "ellipse":
         mask = ((yy - cy) / max(cy, 1)) ** 2 + (
             (xx - cx) / max(cx, 1)) ** 2 <= 1.0
+    elif shape == "diamond":
+        mask = (np.abs(yy - cy) / max(cy, 1)
+                + np.abs(xx - cx) / max(cx, 1)) <= 1.0
     else:  # triangle (apex up)
         mask = (yy / max(hh - 1, 1)) >= np.abs(xx - cx) / max(cx, 1)
     shade = 1.0 + 0.25 * _smooth_noise(
         np.random.default_rng(rng.integers(1 << 31)), hh, ww, octaves=2
     )
+    # Texture: a pixel-scale intensity modulation strong enough to be a
+    # conv-visible class component (class_set 80).
+    if texture == "striped":
+        shade = shade * np.where((yy // 6) % 2 == 0, 0.5, 1.15)
+    elif texture == "dotted":
+        dots = ((yy % 12) < 5) & ((xx % 12) < 5)
+        shade = shade * np.where(dots, 1.6, 0.75)
+    elif texture == "checker":
+        shade = shade * np.where(((yy // 8) + (xx // 8)) % 2 == 0, 0.5, 1.3)
     patch = np.clip(base[None, None, :] * shade[:, :, None], 0, 255)
     region = image[y0:y1, x0:x1]
     region[mask] = patch[mask]
@@ -310,8 +377,15 @@ def main():
         "out-of-vocabulary synonym with probability --synonym_prob — the "
         "ExtendMatch regime.",
     )
-    parser.add_argument("--synonym_prob", type=float, default=0.8)
+    parser.add_argument(
+        "--class_set", type=int, choices=[9, 80], default=9,
+        help="9 (color x shape, the default quality-run regime) or 80 "
+        "(color x shape x texture — the coco17 class count; exercises "
+        "[P,81] OICR heads, 80-column NMS, 80-row extend tables). Use "
+        "the SAME value for both phases of a dataset.",
+    )
     args = parser.parse_args()
+    configure_classes(args.class_set)
     if args.phase == "images":
         phase_images(args)
     else:

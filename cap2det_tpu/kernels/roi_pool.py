@@ -567,7 +567,7 @@ def _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs, x0, win,
 
 def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
                      mq_ref, hx_ref, dtmp_ref, *, crop_size, pool_kernel,
-                     pool_stride, group, window):
+                     pool_stride, group, window, interpret=False):
     """`_bwd_kernel_cat` with HIERARCHICAL first-tie routing folded into
     the recompute (2x2/s2 pools only). Row-major first-tie decomposes
     exactly: the x winner within each row is the left column on ties
@@ -627,8 +627,22 @@ def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
         )  # [S_j, S_i, CB]
 
         wx = _interp_matrix(x1, x2, s, width)  # [S, W]
+        # dtmp_ref's dtype (f32 default, bf16 under
+        # CAP2DET_ROI_BWD_PREC=bf16) sets the MXU operand precision of
+        # both catdots: bf16 operands are the MXU's native single-pass
+        # input (f32 matmuls lower as multi-pass decompositions), with
+        # accumulation kept f32 via preferred_element_type.
+        op_t = dtmp_ref.dtype
+
+        def _op(x):
+            # Interpret mode (CPU) lacks bf16xbf16->f32 dots; bf16
+            # products are exact in f32, so rounding the operands and
+            # multiplying in f32 is value-identical to the MXU path.
+            x = x.astype(op_t)
+            return x.astype(jnp.float32) if interpret else x
+
         dtmp_ref[:, gi * s:(gi + 1) * s, :] = jax.lax.dot_general(
-            wx, dct,
+            _op(wx), _op(dct),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dtmp_ref.dtype)  # [W, S, CB]
@@ -636,7 +650,7 @@ def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
 
     wy_cat = jnp.concatenate(wy_rows, axis=0)  # [G*S, H]
     dfeat_ref[0] += jax.lax.dot_general(
-        wy_cat, dtmp_ref[...],
+        _op(wy_cat), _op(dtmp_ref[...]),
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [H, W, CB]
@@ -1167,7 +1181,16 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
         ),
         scratch_shapes=[
             pltpu.VMEM((crop_size, crop_size, cb), jnp.float32),
-            pltpu.VMEM((width, crop_size, cb), jnp.float32),
+            # CAP2DET_ROI_TMP=bf16 halves the x-pass dynamic-read bytes
+            # (the largest remaining fwd phase per the r4 bisect) at the
+            # cost of one bf16 rounding between the y- and x-lerps; the
+            # output is cast to bf16 anyway.
+            pltpu.VMEM(
+                (width, crop_size, cb),
+                jnp.bfloat16
+                if os.environ.get("CAP2DET_ROI_TMP", "f32") == "bf16"
+                else jnp.float32,
+            ),
             pltpu.VMEM((pooled, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
@@ -1425,12 +1448,23 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
             pool_stride=pool_stride,
             group=group,
             window=_window_tier(width),
+            interpret=interpret,
+        )
+        # CAP2DET_ROI_BWD_PREC=bf16 stores dtmp in bf16, making both
+        # catdots native bf16 MXU matmuls (f32 accumulate). The
+        # recompute tmp/mq/hx stay f32 so tie routing matches the f32
+        # forward exactly; only the already-quantized-on-entry gradient
+        # values ride bf16.
+        dtmp_t = (
+            jnp.bfloat16
+            if os.environ.get("CAP2DET_ROI_BWD_PREC", "f32") == "bf16"
+            else jnp.float32
         )
         scratch = [
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
             pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
             pltpu.VMEM((pooled_rows, crop_size, cb), jnp.float32),
-            pltpu.VMEM((width, group * crop_size, cb), jnp.float32),
+            pltpu.VMEM((width, group * crop_size, cb), dtmp_t),
         ]
         params = dict(
             compiler_params=pltpu.CompilerParams(

@@ -114,7 +114,7 @@ echo "training on $(python -c 'import jax; print(jax.devices())' 2>/dev/null | t
 python -m cap2det_tpu.cli.train_main \
   --pipeline_proto "$WORK/pipeline-text.pbtxt" --model_dir "$MODEL_DIR" \
   > "$WORK/train.log" 2>&1 || { tail -5 "$WORK/train.log"; exit 1; }
-grep "steps/s\|img/s\|loss" "$WORK/train.log" | tail -5
+tail -2 "$WORK/model/metrics.jsonl" || true
 
 python -m cap2det_tpu.cli.evaluate_main \
   --pipeline_proto "$WORK/pipeline-text.pbtxt" --model_dir "$MODEL_DIR" \

@@ -273,3 +273,40 @@ def test_hier_backward_first_tie_on_quantized(monkeypatch, variant, merge):
     monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
     g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))
     np.testing.assert_allclose(g_hier, g_scatter, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_bf16_tmp_close_to_f32(monkeypatch):
+    """CAP2DET_ROI_TMP=bf16 stores the y-pass intermediate in bf16
+    (recorded NEGATIVE on hardware, BENCH_NOTES r5 — kept opt-in). One
+    bf16 rounding between the two lerps: outputs must stay within bf16
+    ULP of the f32 path."""
+    features, boxes = _random_case(5, num_p=8, h=16, w=24, c=16)
+    ref = np.asarray(
+        roi_pool.roi_crop_maxpool(features, boxes, 6, 2, 2, interpret=True)
+    )
+    monkeypatch.setenv("CAP2DET_ROI_TMP", "bf16")
+    ours = np.asarray(
+        roi_pool.roi_crop_maxpool(features, boxes, 6, 2, 2, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1.6e-2, atol=1e-2)
+
+
+def test_backward_bf16_dtmp_close_to_f32(monkeypatch):
+    """CAP2DET_ROI_BWD_PREC=bf16 rounds the catf backward's matmul
+    OPERANDS to bf16 (f32 accumulate); tie routing stays f32-exact, so
+    the gradient must match the f32 path to bf16 operand precision."""
+    features, boxes = _random_case(6, num_p=9, h=16, w=24, c=16)
+    g_target = np.random.RandomState(9).randn(2, 9, 3, 3, 16).astype(
+        np.float32
+    )
+
+    def loss(f):
+        out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
+        return jnp.sum(out * g_target)
+
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "catf")
+    g_ref = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    monkeypatch.setenv("CAP2DET_ROI_BWD_PREC", "bf16")
+    g_bf16 = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_bf16, g_ref, rtol=2e-2, atol=2e-2 * scale)

@@ -378,6 +378,11 @@ def main():
         "ExtendMatch regime.",
     )
     parser.add_argument(
+        "--synonym_prob", type=float, default=0.8,
+        help="With --caption_style synonyms: probability that a class "
+        "mention is replaced by an out-of-vocabulary synonym.",
+    )
+    parser.add_argument(
         "--class_set", type=int, choices=[9, 80], default=9,
         help="9 (color x shape, the default quality-run regime) or 80 "
         "(color x shape x texture — the coco17 class count; exercises "

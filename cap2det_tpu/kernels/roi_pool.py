@@ -245,8 +245,34 @@ def _narrow_window(x_idx, crop_size, width, window):
     return x0, (x_hi + 2 - x0) <= window
 
 
-def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, pool_ref,
-                *, crop_size, pool_kernel, pool_stride, group, window):
+def _read_coords_smem(cidx_ref, cval_ref, axis, g, crop_size):
+    """(idxs, fracs, insides) scalar lists for one proposal from the
+    precomputed-coords SMEM blocks (axis 0 = y, 1 = x).
+
+    Layout puts the proposal axis second-to-last and a flat coord axis
+    last (cidx [1, G, 2S]: y idxs then x idxs; cval [1, G, 4S]:
+    y-frac, y-inside, x-frac, x-inside) so the group-blocked SMEM
+    BlockSpec satisfies Mosaic's (8, full)-tiling rule — the original
+    [.., S, G] layout with G-blocked last dim failed TPU lowering."""
+    s = crop_size
+    idxs = [cidx_ref[0, g, axis * s + i] for i in range(s)]
+    fracs = [cval_ref[0, g, 2 * axis * s + i] for i in range(s)]
+    insides = [cval_ref[0, g, (2 * axis + 1) * s + i] for i in range(s)]
+    return idxs, fracs, insides
+
+
+def _fwd_kernel(boxes_ref, *rest, crop_size, pool_kernel, pool_stride,
+                group, window, precomp=False):
+    if precomp:
+        # CAP2DET_ROI_COORDS=precomp: idx/frac/inside arrive as SMEM
+        # arrays computed OUTSIDE the kernel (vectorized over P by XLA)
+        # — the per-proposal scalar-core coords chain becomes plain SMEM
+        # loads, so the first dynamic-slice start no longer waits on a
+        # serial scalar pipeline.
+        cidx_ref, cval_ref, feat_ref, out_ref, crop_ref, tmp_ref, \
+            pool_ref = rest
+    else:
+        feat_ref, out_ref, crop_ref, tmp_ref, pool_ref = rest
     height, width, cb = feat_ref.shape[1:]
     p_base = pl.program_id(2) * group
     pooled_size = (crop_size - pool_kernel) // pool_stride + 1
@@ -256,10 +282,13 @@ def _fwd_kernel(boxes_ref, feat_ref, out_ref, crop_ref, tmp_ref, pool_ref,
     )
     for g in range(group):
         p = p_base + g
-        y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-
-        ys = _coords(y1, y2, crop_size, height)
-        xs = _coords(x1, x2, crop_size, width)
+        if precomp:
+            ys = _read_coords_smem(cidx_ref, cval_ref, 0, g, crop_size)
+            xs = _read_coords_smem(cidx_ref, cval_ref, 1, g, crop_size)
+        else:
+            y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
+            ys = _coords(y1, y2, crop_size, height)
+            xs = _coords(x1, x2, crop_size, width)
         x_idx = xs[0]
 
         pass_fn = _crop_pool_pass if fold else _crop_pass
@@ -565,9 +594,9 @@ def _fold_recompute(feat_ref, tmp_ref, mq_ref, hx_ref, ys, xs, x0, win,
         hx_ref[q, :, :] = (vals[0] >= vals[1]).astype(jnp.float32)
 
 
-def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
-                     mq_ref, hx_ref, dtmp_ref, *, crop_size, pool_kernel,
-                     pool_stride, group, window, interpret=False):
+def _bwd_kernel_catf(boxes_ref, *rest, crop_size, pool_kernel,
+                     pool_stride, group, window, interpret=False,
+                     precomp=False):
     """`_bwd_kernel_cat` with HIERARCHICAL first-tie routing folded into
     the recompute (2x2/s2 pools only). Row-major first-tie decomposes
     exactly: the x winner within each row is the left column on ties
@@ -579,7 +608,17 @@ def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
     the four taken-mask passes over tiny [ps,ps,CB] values; the dcropT
     it builds is consumed by the same x-dot with dim0/dim0 contraction
     (dtmp[w,i] = sum_j wx[j,w] dcT[j,i] — unchanged math) and the same
-    concatenated dF matmul."""
+    concatenated dF matmul.
+
+    CAP2DET_ROI_BWD_COORDS=precomp: the recompute's sampling coords
+    arrive precomputed via SMEM (see `_precompute_coords`) instead of
+    the per-proposal scalar-core chain."""
+    if precomp:
+        cidx_ref, cval_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref, \
+            mq_ref, hx_ref, dtmp_ref = rest
+    else:
+        feat_ref, grad_ref, dfeat_ref, tmp_ref, mq_ref, hx_ref, \
+            dtmp_ref = rest
     height, width, cb = feat_ref.shape[1:]
     p_base = pl.program_id(2) * group
     s = crop_size
@@ -593,8 +632,12 @@ def _bwd_kernel_catf(boxes_ref, feat_ref, grad_ref, dfeat_ref, tmp_ref,
     for gi in range(group):
         p = p_base + gi
         y1, x1, y2, x2 = (boxes_ref[0, k, p] for k in range(4))
-        ys = _coords(y1, y2, s, height)
-        xs = _coords(x1, x2, s, width)
+        if precomp:
+            ys = _read_coords_smem(cidx_ref, cval_ref, 0, gi, s)
+            xs = _read_coords_smem(cidx_ref, cval_ref, 1, gi, s)
+        else:
+            ys = _coords(y1, y2, s, height)
+            xs = _coords(x1, x2, s, width)
         x_idx = xs[0]
 
         if window is None:
@@ -1136,6 +1179,37 @@ def _pad_proposals(boxes, group):
     return boxes
 
 
+def _precompute_coords(boxes, crop_size, height, width):
+    """XLA-side `_sample_coords` over every proposal at once.
+
+    boxes [B, P, 4] -> (cidx int32 [B, P, 2S], cval f32 [B, P, 4S]):
+    cidx packs y idxs then x idxs along the last axis; cval packs
+    y-frac, y-inside, x-frac, x-inside (see `_read_coords_smem`). The
+    proposal axis sits second-to-last so the group-blocked SMEM
+    BlockSpec is Mosaic-legal. Expression order mirrors
+    `_sample_coords_scalar` exactly (bit-identical idx/frac), so the
+    kernel's sampling is unchanged — only where it is computed moves.
+    """
+    s = crop_size
+    i = jnp.arange(s, dtype=jnp.float32)[None, None, :]  # [1, 1, S]
+    idx_parts, val_parts = [], []
+    for axis, extent in ((0, height), (1, width)):
+        start = boxes[:, :, axis, None]  # [B, P, 1]
+        end = boxes[:, :, axis + 2, None]
+        h_max = float(extent - 1)
+        if s > 1:
+            coords = start * h_max + i * (end - start) * h_max / (s - 1)
+        else:
+            coords = (start + end) * 0.5 * h_max + i * 0.0
+        inside = ((coords >= 0.0) & (coords <= h_max)).astype(jnp.float32)
+        idx = jnp.clip(jnp.floor(coords), 0, extent - 2)
+        frac = (coords - idx) * inside
+        idx_parts.append(idx.astype(jnp.int32))  # [B, P, S]
+        val_parts.extend([frac, inside])
+    return (jnp.concatenate(idx_parts, axis=-1),
+            jnp.concatenate(val_parts, axis=-1))
+
+
 def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
              channel_block, interpret, group):
     group = int(os.environ.get("CAP2DET_ROI_GROUP", group))
@@ -1157,6 +1231,9 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
     pooled = (crop_size - pool_kernel) // pool_stride + 1
 
     grid = (batch, pl.cdiv(channels, cb), num_p // group)
+    # Mosaic requires the blocked proposal axis divisible by 8.
+    precomp = (os.environ.get("CAP2DET_ROI_COORDS") == "precomp"
+               and group % 8 == 0)
     kernel = functools.partial(
         _fwd_kernel,
         crop_size=crop_size,
@@ -1164,13 +1241,26 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
         pool_stride=pool_stride,
         group=group,
         window=_window_tier(width),
+        precomp=precomp,
     )
+    s = crop_size
+    extra_args, extra_specs = [], []
+    if precomp:
+        cidx, cval = _precompute_coords(boxes, s, height, width)
+        extra_args = [cidx, cval]
+        extra_specs = [
+            pl.BlockSpec((1, group, 2 * s), lambda b, c, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, 4 * s), lambda b, c, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+            *extra_specs,
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
         ],
         out_specs=pl.BlockSpec(
@@ -1194,7 +1284,7 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((pooled, crop_size, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.transpose(boxes, (0, 2, 1)), features)
+    )(jnp.transpose(boxes, (0, 2, 1)), *extra_args, features)
     return out[:, :orig_p, :, :, :orig_channels]
 
 
@@ -1393,6 +1483,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     # Read at trace time.
     variant = os.environ.get("CAP2DET_ROI_BWD", "catf")
     grid = (batch, pl.cdiv(channels, cb), num_p // group)
+    bwd_precomp = False  # set by the catf branch; adds coord operands
     if variant == "catv":
         kernel = functools.partial(
             _bwd_kernel_catv,
@@ -1441,6 +1532,10 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
     elif variant == "catf" and pool_kernel == 2 and pool_stride == 2 \
             and crop_size % 2 == 0:
         pooled_rows = (crop_size - pool_kernel) // pool_stride + 1
+        bwd_precomp = (
+            os.environ.get("CAP2DET_ROI_BWD_COORDS") == "precomp"
+            and group % 8 == 0  # Mosaic blocked-axis tiling rule
+        )
         kernel = functools.partial(
             _bwd_kernel_catf,
             crop_size=crop_size,
@@ -1449,6 +1544,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
             group=group,
             window=_window_tier(width),
             interpret=interpret,
+            precomp=bwd_precomp,
         )
         # CAP2DET_ROI_BWD_PREC=bf16 stores dtmp in bf16, making both
         # catdots native bf16 MXU matmuls (f32 accumulate). The
@@ -1504,12 +1600,24 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
             pltpu.VMEM((width, crop_size, cb), jnp.float32),
         ]
         params = {}
+    s = crop_size
+    extra_args, extra_specs = [], []
+    if bwd_precomp:
+        cidx, cval = _precompute_coords(boxes, s, height, width)
+        extra_args = [cidx, cval]
+        extra_specs = [
+            pl.BlockSpec((1, group, 2 * s), lambda b, c, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, 4 * s), lambda b, c, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     dfeat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4, num_p), lambda b, c, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+            *extra_specs,
             pl.BlockSpec((1, height, width, cb), lambda b, c, p: (b, 0, 0, c)),
             pl.BlockSpec(
                 (1, group, pooled, pooled, cb), lambda b, c, p: (b, p, 0, 0, c)
@@ -1524,7 +1632,7 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
         scratch_shapes=scratch,
         interpret=interpret,
         **params,
-    )(jnp.transpose(boxes, (0, 2, 1)), features, grad)
+    )(jnp.transpose(boxes, (0, 2, 1)), *extra_args, features, grad)
     return dfeat[..., :orig_channels].astype(features.dtype)
 
 

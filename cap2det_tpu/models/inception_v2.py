@@ -782,9 +782,22 @@ def first_stage(params, images, compute_dtype=jnp.bfloat16):
 
 
 def second_stage(params, rois, compute_dtype=jnp.bfloat16):
-    """ROI features [N,S,S,576] -> Mixed_5c features [N,S',S',1024]."""
+    """ROI features [N,S,S,576] -> Mixed_5c features [N,S',S',1024].
+
+    CAP2DET_SECOND_STAGE_REMAT=1 wraps each Mixed_5 block in
+    jax.checkpoint: branch intermediates are recomputed in the backward
+    instead of saved (trades ~1 extra block forward for the saved
+    residuals' HBM round-trip + layout churn — the r4 attribution put
+    the second-stage backward at 4.5x its forward).
+    """
+    block = _block
+    if os.environ.get("CAP2DET_SECOND_STAGE_REMAT") == "1":
+        def block(p, spec, x, dt):
+            return jax.checkpoint(
+                lambda pp, xx: _block(pp, spec, xx, dt)
+            )(p, x)
     x = rois
     p = params["InceptionV2"]
     for name in ["Mixed_5a", "Mixed_5b", "Mixed_5c"]:
-        x = _block(p[name], _BLOCKS_SECOND[name], x, compute_dtype)
+        x = block(p[name], _BLOCKS_SECOND[name], x, compute_dtype)
     return x

@@ -200,3 +200,30 @@ def test_second_stage_parity_full():
     # Merged-branch 1x1 convs reassociate float sums vs the per-branch
     # tf.nn reconstruction; 2e-3 on O(100) activations is ~1e-5 relative.
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_second_stage_remat_exact(monkeypatch):
+    """CAP2DET_SECOND_STAGE_REMAT=1 (jax.checkpoint per Mixed_5 block)
+    must be value- AND gradient-identical to the base path — remat only
+    changes what is saved vs recomputed."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    params = iv2.init_second_stage_params(jax.random.PRNGKey(0))
+    rois = rng.randn(3, 7, 7, iv2.FIRST_STAGE_DEPTH).astype(np.float32)
+    g = rng.randn(3, 4, 4, iv2.SECOND_STAGE_DEPTH).astype(np.float32)
+
+    def loss(p):
+        out = iv2.second_stage(p, jnp.asarray(rois), jnp.float32)
+        return jnp.sum(out * g)
+
+    base_val, base_grad = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("CAP2DET_SECOND_STAGE_REMAT", "1")
+    remat_val, remat_grad = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(base_val), float(remat_val), rtol=1e-6)
+    flat_b = jax.tree_util.tree_leaves(base_grad)
+    flat_r = jax.tree_util.tree_leaves(remat_grad)
+    for b, r in zip(flat_b, flat_r):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)

@@ -310,3 +310,47 @@ def test_backward_bf16_dtmp_close_to_f32(monkeypatch):
     g_bf16 = np.asarray(jax.grad(loss)(jnp.asarray(features)))
     scale = np.abs(g_ref).max()
     np.testing.assert_allclose(g_bf16, g_ref, rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_forward_precomp_coords_matches_xla(monkeypatch):
+    """CAP2DET_ROI_COORDS=precomp moves the sampling-coordinate chain
+    OUT of the kernel (XLA computes idx/frac/inside vectorized over P;
+    the kernel reads them from SMEM). Same math, different compilation —
+    FMA contraction differences make it near- but not bit-identical to
+    the in-kernel scalar chain, so pin against the XLA reference."""
+    features, boxes = _random_case(3, num_p=8, h=16, w=48, c=8)
+    wide = np.array(
+        [[[0.0, 0.0, 1.0, 1.0], [0.1, 0.05, 0.9, 0.98]]], np.float32
+    )
+    boxes = np.concatenate([boxes[:, :6], np.tile(wide, (2, 1, 1))], axis=1)
+    monkeypatch.setenv("CAP2DET_ROI_COORDS", "precomp")
+    ours = np.asarray(
+        roi_pool.roi_crop_maxpool(features, boxes, 6, 2, 2, interpret=True)
+    )
+    ref = np.asarray(
+        roi_ops.crop_resize_maxpool(features, boxes, 6, 2, 2)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_backward_precomp_coords_matches_scatter(monkeypatch):
+    """CAP2DET_ROI_BWD_COORDS=precomp feeds the catf backward's
+    recompute with the XLA-precomputed sampling coords. Gradient must
+    match the flat taken-mask scan (scatter) within FMA-contraction
+    tolerance."""
+    features, boxes = _random_case(7, num_p=11, h=20, w=24, c=16)
+    g_target = np.random.RandomState(8).randn(2, 11, 3, 3, 16).astype(
+        np.float32
+    )
+
+    def loss(f):
+        out = roi_pool.roi_crop_maxpool(f, boxes, 6, 2, 2, interpret=True)
+        return jnp.sum(out * g_target)
+
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "catf")
+    monkeypatch.setenv("CAP2DET_ROI_BWD_COORDS", "precomp")
+    g_pre = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    monkeypatch.delenv("CAP2DET_ROI_BWD_COORDS")
+    monkeypatch.setenv("CAP2DET_ROI_BWD", "scatter")
+    g_scatter = np.asarray(jax.grad(loss)(jnp.asarray(features)))
+    np.testing.assert_allclose(g_pre, g_scatter, rtol=1e-4, atol=1e-4)

@@ -1232,7 +1232,10 @@ def _forward(features, boxes, crop_size, pool_kernel, pool_stride,
 
     grid = (batch, pl.cdiv(channels, cb), num_p // group)
     # Mosaic requires the blocked proposal axis divisible by 8.
-    precomp = (os.environ.get("CAP2DET_ROI_COORDS") == "precomp"
+    # Default since r5: XLA precomputes the sampling coords and the
+    # kernel reads SMEM (measured -1.6 ms/step at bench shapes vs the
+    # in-kernel scalar chain; CAP2DET_ROI_COORDS=scalar|vector reverts).
+    precomp = (os.environ.get("CAP2DET_ROI_COORDS", "precomp") == "precomp"
                and group % 8 == 0)
     kernel = functools.partial(
         _fwd_kernel,
@@ -1533,7 +1536,9 @@ def _backward(features, boxes, grad, crop_size, pool_kernel, pool_stride,
             and crop_size % 2 == 0:
         pooled_rows = (crop_size - pool_kernel) // pool_stride + 1
         bwd_precomp = (
-            os.environ.get("CAP2DET_ROI_BWD_COORDS") == "precomp"
+            # Default since r5 (measured ~-0.5 ms/step at bench shapes;
+            # CAP2DET_ROI_BWD_COORDS=kernel reverts).
+            os.environ.get("CAP2DET_ROI_BWD_COORDS", "precomp") == "precomp"
             and group % 8 == 0  # Mosaic blocked-axis tiling rule
         )
         kernel = functools.partial(
